@@ -15,4 +15,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize may have force-registered a remote TPU
+# backend and overridden jax_platforms; tests must run on the local CPU
+# mesh, so set it back after import.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
