@@ -342,10 +342,17 @@ class Space:
     # ------------------------------------------------------------ device data
 
     def device(self, key: str):
-        """Cached device arrays derived from the host tables."""
+        """Cached device arrays derived from the host tables.
+
+        Built under ``ensure_compile_time_eval`` so that first use inside
+        a jit/scan trace still caches concrete arrays, not tracers.
+        """
         if key in self._device_cache:
             return self._device_cache[key]
-        val = self._build_device(key)
+        import jax
+
+        with jax.ensure_compile_time_eval():
+            val = self._build_device(key)
         self._device_cache[key] = val
         return val
 
