@@ -289,7 +289,15 @@ def assemble_matrix(space, matform, ctx=None, *, order=None, chunk=None,
     return A
 
 
-def _element_residual(space, function, ctx, pb, Ue, m, v, uorig, order):
+def _call_function(function, pt, ue, aux_e, ctx):
+    """Call a residual form, passing per-element auxiliary closures (time
+    integrator states U0/V0/..., each (nen, c)) when present."""
+    if aux_e is None:
+        return function(pt, ue, ctx)
+    return function(pt, ue, aux_e, ctx)
+
+
+def _element_residual(space, function, ctx, pb, Ue, m, v, uorig, order, aux_e=None):
     """Residual of one element batch with Dirichlet semantics
     (FixValues + FixFunction, petigaelem.c:1343-1358, 1441-1481):
     fixed coefficients are overwritten with their boundary values before
@@ -300,9 +308,14 @@ def _element_residual(space, function, ctx, pb, Ue, m, v, uorig, order):
     Uf = jnp.where(m.reshape(B, nen, dof) > 0, v.reshape(B, nen, dof), Ue)
 
     def body(Ra, pt, w):
-        R = jax.vmap(lambda p, ue: _normalize_F(function(p, ue, ctx), nen, dof, dt))(
-            pt, Uf
-        )
+        if aux_e is None:
+            R = jax.vmap(
+                lambda p, ue: _normalize_F(function(p, ue, ctx), nen, dof, dt)
+            )(pt, Uf)
+        else:
+            R = jax.vmap(
+                lambda p, ue, ax: _normalize_F(function(p, ue, ax, ctx), nen, dof, dt)
+            )(pt, Uf, aux_e)
         return Ra + w[:, None] * R
 
     Re = _scan_points(pb, body, jnp.zeros((B, nen * dof), dtype=dt))
@@ -310,11 +323,21 @@ def _element_residual(space, function, ctx, pb, Ue, m, v, uorig, order):
     return Re
 
 
-def assemble_function(space, function, U, ctx=None, *, order=None, chunk=None):
+def _gather_aux(space, aux, emap):
+    if aux is None:
+        return None
+    return {k: v.reshape(space.nnodes, -1)[emap] for k, v in aux.items()}
+
+
+def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
+                      chunk=None):
     """Assemble the residual F(U) (IGAComputeFunction, petigasnes.c:23-80).
 
     ``function(pt, Ue, ctx) -> R`` reshapeable to (nen*dof) with Ue the
-    element coefficients (nen, dof).
+    element coefficients (nen, dof).  With ``aux`` (dict of global
+    (nnodes, c) vectors) the signature is ``function(pt, Ue, aux_e, ctx)``
+    with aux_e holding (nen, c) element closures — the mechanism behind
+    the reference's IFunction/I2Function/IEFunction multi-state forms.
     """
     dt = space.dtype
     nen, dof = space.nen, space.dof
@@ -332,7 +355,10 @@ def assemble_function(space, function, U, ctx=None, *, order=None, chunk=None):
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
         uorig = Ue.reshape(B, nen * dof)
-        Re = _element_residual(space, function, ctx, pb, Ue, m, v, uorig, order)
+        aux_e = _gather_aux(space, aux, emap)
+        Re = _element_residual(
+            space, function, ctx, pb, Ue, m, v, uorig, order, aux_e
+        )
         return _scatter_vector(space, F, Re.reshape(B, nen, dof), emap, valid), None
 
     F, _ = jax.lax.scan(chunk_body, F, (ids, valid))
@@ -344,7 +370,8 @@ def assemble_function(space, function, U, ctx=None, *, order=None, chunk=None):
 
 
 def assemble_jacobian(
-    space, function, U, ctx=None, *, jacobian=None, order=None, chunk=None
+    space, function, U, ctx=None, *, jacobian=None, aux=None, order=None,
+    chunk=None
 ):
     """Assemble J = dF/dU by forward-mode AD of the element residual
     (IGAComputeJacobian, petigasnes.c:82-139; AD replaces
@@ -367,14 +394,22 @@ def assemble_jacobian(
         Ue = U[emap]
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
+        aux_e = _gather_aux(space, aux, emap)
 
         if jacobian is not None:
             Uf = jnp.where(m.reshape(B, nen, dof) > 0, v.reshape(B, nen, dof), Ue)
 
             def body(Ka, pt, w):
-                K = jax.vmap(
-                    lambda p, ue: _normalize_K(jacobian(p, ue, ctx), nen, dof, dt)
-                )(pt, Uf)
+                if aux_e is None:
+                    K = jax.vmap(
+                        lambda p, ue: _normalize_K(jacobian(p, ue, ctx), nen, dof, dt)
+                    )(pt, Uf)
+                else:
+                    K = jax.vmap(
+                        lambda p, ue, ax: _normalize_K(
+                            jacobian(p, ue, ax, ctx), nen, dof, dt
+                        )
+                    )(pt, Uf, aux_e)
                 return Ka + w[:, None, None] * K
 
             Je = _scan_points(pb, body, jnp.zeros((B, nen * dof, nen * dof), dt))
@@ -383,8 +418,13 @@ def assemble_jacobian(
             Je = Je * keep[:, :, None] * keep[:, None, :]
             Je = Je + m[:, :, None] * jnp.eye(nen * dof, dtype=dt)[None]
         else:
-            def elem_res(ue_flat, pb_e, m_e, v_e):
+            def elem_res(ue_flat, pb_e, m_e, v_e, aux_el):
                 pb1 = jax.tree.map(lambda a: a[None], pb_e)
+                aux1 = (
+                    None
+                    if aux_el is None
+                    else jax.tree.map(lambda a: a[None], aux_el)
+                )
                 r = _element_residual(
                     space,
                     function,
@@ -395,12 +435,18 @@ def assemble_jacobian(
                     v_e[None],
                     ue_flat[None],
                     order,
+                    aux1,
                 )
                 return r[0]
 
-            Je = jax.vmap(jax.jacfwd(elem_res))(
-                Ue.reshape(B, nen * dof), pb, m, v
-            )
+            if aux_e is None:
+                Je = jax.vmap(
+                    lambda u, p, mm, vv: jax.jacfwd(elem_res)(u, p, mm, vv, None)
+                )(Ue.reshape(B, nen * dof), pb, m, v)
+            else:
+                Je = jax.vmap(jax.jacfwd(elem_res))(
+                    Ue.reshape(B, nen * dof), pb, m, v, aux_e
+                )
 
         A_data = _scatter_matrix(
             space,

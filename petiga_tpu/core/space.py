@@ -353,7 +353,12 @@ class Space:
 
         with jax.ensure_compile_time_eval():
             val = self._build_device(key)
-        self._device_cache[key] = val
+        # compile-time eval does not escape every trace (e.g. shard_map);
+        # never cache tracers — they would leak into later traces
+        if not any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(val)
+        ):
+            self._device_cache[key] = val
         return val
 
     def _build_device(self, key: str):

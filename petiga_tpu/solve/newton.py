@@ -1,0 +1,89 @@
+"""Newton-Krylov nonlinear solver — the analog of the reference's SNES
+glue (``petigasnes.c``: IGAComputeFunction/Jacobian wired into PETSc's
+Newton line-search solver).
+
+The whole solve is one jittable loop: residual assembly, AD-Jacobian
+assembly, preconditioned Krylov inner solve, and the convergence test
+all run on-device inside ``lax.while_loop`` with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..assembly.assemble import assemble_function, assemble_jacobian
+from .krylov import cg, bicgstab, jacobi_preconditioner
+
+__all__ = ["newton", "NewtonResult"]
+
+
+class NewtonResult(NamedTuple):
+    U: jnp.ndarray
+    iters: jnp.ndarray
+    fnorm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def newton(
+    space,
+    function: Callable,
+    U0: jnp.ndarray,
+    ctx=None,
+    *,
+    jacobian: Optional[Callable] = None,
+    aux=None,
+    rtol: float = 1e-8,
+    atol: float = 1e-50,
+    maxit: int = 50,
+    linear_rtol: float = 1e-8,
+    linear_solver: str = "cg",
+    order: Optional[int] = None,
+    chunk: Optional[int] = None,
+    damping: float = 1.0,
+) -> NewtonResult:
+    """Solve F(U) = 0 by Newton's method with an inner Krylov solve.
+
+    ``function(pt, Ue, ctx) -> R (nen, dof)`` is the pointwise residual;
+    the Jacobian defaults to forward-mode AD of the element residual.
+    Dirichlet dofs are driven to their boundary values through the
+    fix-value residual semantics (petigaelem.c:1441-1481).
+    """
+    dof = space.dof
+    shape = (space.nnodes, dof)
+    U0 = U0.reshape(shape)
+    solver = {"cg": cg, "bicgstab": bicgstab}[linear_solver]
+
+    def resid(U):
+        return assemble_function(
+            space, function, U, ctx, aux=aux, order=order, chunk=chunk
+        )
+
+    def jac(U):
+        return assemble_jacobian(
+            space, function, U, ctx, jacobian=jacobian, aux=aux, order=order,
+            chunk=chunk,
+        )
+
+    F0 = resid(U0)
+    f0 = jnp.sqrt(jnp.vdot(F0, F0)).real
+    tol = jnp.maximum(rtol * f0, atol)
+
+    def cond(st):
+        U, F, fnorm, k = st
+        return (fnorm > tol) & (k < maxit)
+
+    def step(st):
+        U, F, fnorm, k = st
+        A = jac(U)
+        M = jacobi_preconditioner(A)
+        res = solver(A, F, M=M, rtol=linear_rtol)
+        U = U - damping * res.x.reshape(shape)
+        F = resid(U)
+        fnorm = jnp.sqrt(jnp.vdot(F, F)).real
+        return (U, F, fnorm, k + 1)
+
+    U, F, fnorm, k = jax.lax.while_loop(cond, step, (U0, F0, f0, 0))
+    return NewtonResult(U=U, iters=k, fnorm=fnorm, converged=fnorm <= tol)

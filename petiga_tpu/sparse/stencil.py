@@ -27,7 +27,7 @@ from typing import Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["Stencil", "StencilMatrix"]
+__all__ = ["Stencil", "StencilMatrix", "stencil_apply"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -118,6 +118,38 @@ class Stencil:
         return cols
 
 
+def stencil_apply(data_grid, x_padded, widths, slot_offsets):
+    """Core stencil SpMV: K shifted fused multiply-adds.
+
+    Args:
+      data_grid: (N_{d-1},...,N_0, K, dof, dof) — slot data on the
+        (reversed-axis) node grid.
+      x_padded: (N_{d-1}+2p_{d-1}, ..., N_0+2p_0, dof) — halo-padded input.
+      widths: per-spatial-axis half widths (p_0..p_{d-1}).
+      slot_offsets: (K, dim) array of per-slot offsets.
+
+    Returns y on the unpadded grid, shape (N_rev..., dof).
+
+    Shared by the serial operator and the shard_map-distributed operator
+    (where x_padded comes from a ppermute halo exchange).
+    """
+    dim = len(widths)
+    N_rev = data_grid.shape[:dim]
+    K = data_grid.shape[dim]
+    y = None
+    for sidx in range(K):
+        slices = []
+        for g in range(dim):
+            d = dim - 1 - g
+            o = int(slot_offsets[sidx, d])
+            p = widths[d]
+            slices.append(slice(p + o, p + o + N_rev[g]))
+        xs = x_padded[tuple(slices)]
+        term = jnp.einsum("...ab,...b->...a", data_grid[..., sidx, :, :], xs)
+        y = term if y is None else y + term
+    return y
+
+
 class StencilMatrix:
     """A block operator in stencil storage.
 
@@ -163,18 +195,7 @@ class StencilMatrix:
                 xp = jnp.pad(xp, pw, mode="wrap" if modes[g] else "constant")
 
         dg = self.data.reshape(tuple(N[::-1]) + (s.K, dof, dof))
-        offs = s.slot_offsets()  # (K, dim)
-        y = None
-        for sidx in range(s.K):
-            slices = []
-            for g in range(dim):
-                d = dim - 1 - g
-                o = int(offs[sidx, d])
-                p = s.widths[d]
-                slices.append(slice(p + o, p + o + N[d]))
-            xs = xp[tuple(slices)]  # (N[::-1]..., dof)
-            term = jnp.einsum("...ab,...b->...a", dg[..., sidx, :, :], xs)
-            y = term if y is None else y + term
+        y = stencil_apply(dg, xp, s.widths, s.slot_offsets())
         y = y.reshape(s.nnodes, dof)
         return y.reshape(-1) if flat_in else y
 

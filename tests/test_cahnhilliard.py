@@ -1,0 +1,37 @@
+"""Cahn-Hilliard short-horizon run (the reference's `-ts_max_steps 2`
+smoke strategy, demo/makefile) + free-energy decay check."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from petiga_tpu.models import cahnhilliard as ch
+
+
+def test_cahnhilliard_2d_short():
+    sp = ch.make_space(dim=2, nel=16, dtype=jnp.float64)
+    U0 = ch.initial_condition(sp, seed=1)
+    U, stats = ch.run(
+        sp,
+        U0,
+        dt=1e-11,
+        nsteps=2,
+        newton_kw=dict(rtol=1e-6, linear_solver="bicgstab", maxit=20),
+    )
+    assert np.isfinite(np.asarray(U)).all()
+    # concentration stays in (0, 1)
+    assert float(U.min()) > 0 and float(U.max()) < 1
+    # mass conservation: mean concentration preserved (periodic, no flux)
+    np.testing.assert_allclose(float(U.mean()), float(U0.mean()), rtol=1e-7)
+    # monitor produced stats and free energy did not increase
+    energies = [s[2] for s in stats]
+    assert len(energies) == 2
+    assert energies[-1] <= energies[0] + 1e-8
+
+
+def test_residual_order2_shapes():
+    """The residual uses Hessians (C¹ requirement): order-2 tabulation
+    present on the periodic quadratic space."""
+    sp = ch.make_space(dim=2, nel=8)
+    assert sp.order >= 2
+    assert all(ax.periodic for ax in sp.axes)
+    assert all(ax.continuity == 1 for ax in sp.axes)
