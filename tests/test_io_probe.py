@@ -1,0 +1,118 @@
+"""Checkpoint round-trips (IGAInputOutput.c analog) and probe evaluation
+(IGAProbe.c analog)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from petiga_tpu.core.axis import Axis
+from petiga_tpu.core.space import Space
+from petiga_tpu.io.checkpoint import read_space, read_vec, write_space, write_vec
+from petiga_tpu.post.probe import Probe
+from petiga_tpu.post.sample import sample_grid, write_vts
+
+F64 = jnp.float64
+
+
+def test_space_roundtrip(tmp_path):
+    sp = Space(
+        [Axis.uniform(p=2, nel=5), Axis.uniform(p=3, nel=3, continuity=1)],
+        dtype=F64,
+    )
+    path = str(tmp_path / "disc.dat")
+    write_space(sp, path)
+    sp2 = read_space(path, dtype=F64)
+    assert sp2.dim == sp.dim
+    assert sp2.degrees == sp.degrees
+    for a, b in zip(sp.axes, sp2.axes):
+        np.testing.assert_allclose(a.U, b.U)
+    assert sp2.node_shape == sp.node_shape
+
+
+def test_space_geometry_roundtrip(tmp_path):
+    sp = Space([Axis.uniform(p=2, nel=4)] * 2, dtype=F64)
+    G = sp.greville_coordinates()
+    W = 1.0 + 0.1 * np.arange(sp.nnodes)
+    sp.init_geometry(G * 2.0, W)
+    sp.set_property(np.arange(sp.nnodes * 2, dtype=float).reshape(-1, 2))
+    path = str(tmp_path / "geom.dat")
+    write_space(sp, path)
+    sp2 = read_space(path, dtype=F64)
+    np.testing.assert_allclose(sp2.geometry, sp.geometry, atol=1e-13)
+    np.testing.assert_allclose(sp2.rational, W, atol=1e-13)
+    np.testing.assert_allclose(sp2.property, sp.property, atol=1e-13)
+
+
+def test_vec_roundtrip_and_odd_sizes(tmp_path):
+    for nel in (3, 7):
+        sp = Space([Axis.uniform(p=2, nel=nel)] * 2, dof=3, dtype=F64)
+        rng = np.random.default_rng(nel)
+        U = jnp.asarray(rng.normal(size=(sp.nnodes, 3)))
+        path = str(tmp_path / f"v{nel}.dat")
+        write_vec(sp, U, path)
+        U2 = read_vec(sp, path)
+        np.testing.assert_allclose(np.asarray(U2), np.asarray(U), atol=1e-14)
+
+
+def test_vec_length_mismatch(tmp_path):
+    sp = Space([Axis.uniform(p=2, nel=4)], dtype=F64)
+    path = str(tmp_path / "v.dat")
+    write_vec(sp, jnp.zeros((sp.nnodes, 1)), path)
+    sp2 = Space([Axis.uniform(p=2, nel=8)], dtype=F64)
+    with pytest.raises(IOError):
+        read_vec(sp2, path)
+
+
+def test_probe_exact_polynomial():
+    """B-splines reproduce polynomials: probe matches exactly."""
+    sp = Space([Axis.uniform(p=2, nel=4)] * 2, dtype=F64)
+    # u(x,y) = x via Greville interpolation of linears
+    G = sp.greville_coordinates()
+    U = jnp.asarray(G[:, :1])
+    pr = Probe(sp, U)
+    pts = np.random.default_rng(0).random((17, 2))
+    np.testing.assert_allclose(
+        np.asarray(pr.value(pts))[:, 0], pts[:, 0], atol=1e-13
+    )
+    g = np.asarray(pr.grad(pts))
+    np.testing.assert_allclose(g[:, 0, 0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(g[:, 0, 1], 0.0, atol=1e-12)
+
+
+def test_probe_matches_error_norm():
+    """Probe of the Poisson solution agrees with the manufactured
+    solution to discretization accuracy (IGAProbe.c strategy)."""
+    from petiga_tpu.models.poisson import make_space, solve_poisson
+
+    sp = make_space(2, p=2, nel=12, dtype=F64)
+    U, _ = solve_poisson(sp, rtol=1e-12)
+    pr = Probe(sp, U)
+    pts = np.array([[0.5, 0.5], [0.25, 0.75], [0.1, 0.9]])
+    exact = np.prod(np.sin(np.pi * pts), axis=1)
+    np.testing.assert_allclose(
+        np.asarray(pr.value(pts))[:, 0], exact, atol=2e-4
+    )
+
+
+def test_probe_periodic_wrap():
+    sp = Space([Axis.uniform(p=2, nel=8, periodic=True)], dtype=F64)
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    pr = Probe(sp, U)
+    v1 = np.asarray(pr.value(np.array([[0.0]])))
+    v2 = np.asarray(pr.value(np.array([[1.0]])))
+    np.testing.assert_allclose(v1, v2, atol=1e-12)
+
+
+def test_sample_and_vts(tmp_path):
+    sp = Space([Axis.uniform(p=2, nel=4)] * 2, dtype=F64)
+    U = jnp.ones((sp.nnodes, 1), F64)
+    coords, vals, shape = sample_grid(sp, U)
+    assert coords.shape[1] == 2
+    np.testing.assert_allclose(vals, 1.0, atol=1e-12)
+    path = str(tmp_path / "out.vts")
+    write_vts(path, coords, shape, {"u": vals[:, 0]})
+    text = open(path).read()
+    assert "StructuredGrid" in text and "DataArray" in text
