@@ -330,7 +330,7 @@ def _gather_aux(space, aux, emap):
 
 
 def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
-                      chunk=None):
+                      chunk=None, boundary=None):
     """Assemble the residual F(U) (IGAComputeFunction, petigasnes.c:23-80).
 
     ``function(pt, Ue, ctx) -> R`` reshapeable to (nen*dof) with Ue the
@@ -346,22 +346,35 @@ def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
     mapping = space.device("mapping")
     ids, valid = _chunks(space, chunk)
 
-    def chunk_body(carry, xs):
+    def chunk_body(carry, xs, face=None, form=function):
         F = carry
         ids, valid = xs
-        pb = tabulate_elements(space, ids, order=order)
+        pb = tabulate_elements(space, ids, order=order, face=face)
         emap = mapping[ids]
         Ue = U[emap]
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
         uorig = Ue.reshape(B, nen * dof)
         aux_e = _gather_aux(space, aux, emap)
+        zero_fix = face is not None  # boundary forms only ADD interior rows
         Re = _element_residual(
-            space, function, ctx, pb, Ue, m, v, uorig, order, aux_e
+            space, form, ctx, pb, Ue, m, v,
+            v if zero_fix else uorig, order, aux_e,
         )
+        if zero_fix:
+            Re = Re * (1.0 - m)
         return _scatter_vector(space, F, Re.reshape(B, nen, dof), emap, valid), None
 
     F, _ = jax.lax.scan(chunk_body, F, (ids, valid))
+    if boundary is not None:
+        for d, s in _faces_to_visit(space):
+            fids = _face_elements(space, d, s)
+            F, _ = chunk_body(
+                F,
+                (jnp.asarray(fids), jnp.ones(len(fids), bool)),
+                face=(d, s),
+                form=boundary,
+            )
     flux = boundary_flux_vector(space)
     if flux is not None:
         mask, _ = space.device("dirichlet")
@@ -371,7 +384,7 @@ def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
 
 def assemble_jacobian(
     space, function, U, ctx=None, *, jacobian=None, aux=None, order=None,
-    chunk=None
+    chunk=None, boundary=None
 ):
     """Assemble J = dF/dU by forward-mode AD of the element residual
     (IGAComputeJacobian, petigasnes.c:82-139; AD replaces
@@ -386,28 +399,29 @@ def assemble_jacobian(
     mapping = space.device("mapping")
     ids, valid = _chunks(space, chunk)
 
-    def chunk_body(carry, xs):
+    def chunk_body(carry, xs, face=None, form=function, jacform=None):
         A_data = carry
         ids, valid = xs
-        pb = tabulate_elements(space, ids, order=order)
+        pb = tabulate_elements(space, ids, order=order, face=face)
         emap = mapping[ids]
         Ue = U[emap]
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
         aux_e = _gather_aux(space, aux, emap)
+        function_, jacobian_ = form, jacform
 
-        if jacobian is not None:
+        if jacobian_ is not None:
             Uf = jnp.where(m.reshape(B, nen, dof) > 0, v.reshape(B, nen, dof), Ue)
 
             def body(Ka, pt, w):
                 if aux_e is None:
                     K = jax.vmap(
-                        lambda p, ue: _normalize_K(jacobian(p, ue, ctx), nen, dof, dt)
+                        lambda p, ue: _normalize_K(jacobian_(p, ue, ctx), nen, dof, dt)
                     )(pt, Uf)
                 else:
                     K = jax.vmap(
                         lambda p, ue, ax: _normalize_K(
-                            jacobian(p, ue, ax, ctx), nen, dof, dt
+                            jacobian_(p, ue, ax, ctx), nen, dof, dt
                         )
                     )(pt, Uf, aux_e)
                 return Ka + w[:, None, None] * K
@@ -416,7 +430,8 @@ def assemble_jacobian(
             # FixJacobian: zero rows+cols, unit diagonal (petigaelem.c:1483)
             keep = 1.0 - m
             Je = Je * keep[:, :, None] * keep[:, None, :]
-            Je = Je + m[:, :, None] * jnp.eye(nen * dof, dtype=dt)[None]
+            if face is None:
+                Je = Je + m[:, :, None] * jnp.eye(nen * dof, dtype=dt)[None]
         else:
             def elem_res(ue_flat, pb_e, m_e, v_e, aux_el):
                 pb1 = jax.tree.map(lambda a: a[None], pb_e)
@@ -427,17 +442,21 @@ def assemble_jacobian(
                 )
                 r = _element_residual(
                     space,
-                    function,
+                    function_,
                     ctx,
                     pb1,
                     ue_flat.reshape(1, nen, dof),
                     m_e[None],
                     v_e[None],
-                    ue_flat[None],
+                    # boundary forms must not re-add the fixed-row identity
+                    v_e[None] if face is not None else ue_flat[None],
                     order,
                     aux1,
                 )
-                return r[0]
+                res = r[0]
+                if face is not None:
+                    res = res * (1.0 - m_e)
+                return res
 
             if aux_e is None:
                 Je = jax.vmap(
@@ -457,7 +476,18 @@ def assemble_jacobian(
         )
         return A_data, None
 
-    A_data, _ = jax.lax.scan(chunk_body, A_data, (ids, valid))
+    A_data, _ = jax.lax.scan(
+        lambda c, x: chunk_body(c, x, jacform=jacobian), A_data, (ids, valid)
+    )
+    if boundary is not None:
+        for d, s in _faces_to_visit(space):
+            fids = _face_elements(space, d, s)
+            A_data, _ = chunk_body(
+                A_data,
+                (jnp.asarray(fids), jnp.ones(len(fids), bool)),
+                face=(d, s),
+                form=boundary,
+            )
     return StencilMatrix(st, A_data.reshape(st.nnodes, st.K, dof, dof))
 
 

@@ -35,6 +35,7 @@ def newton(
     *,
     jacobian: Optional[Callable] = None,
     aux=None,
+    boundary: Optional[Callable] = None,
     rtol: float = 1e-8,
     atol: float = 1e-50,
     maxit: int = 50,
@@ -58,13 +59,14 @@ def newton(
 
     def resid(U):
         return assemble_function(
-            space, function, U, ctx, aux=aux, order=order, chunk=chunk
+            space, function, U, ctx, aux=aux, order=order, chunk=chunk,
+            boundary=boundary,
         )
 
     def jac(U):
         return assemble_jacobian(
             space, function, U, ctx, jacobian=jacobian, aux=aux, order=order,
-            chunk=chunk,
+            chunk=chunk, boundary=boundary,
         )
 
     F0 = resid(U0)
