@@ -14,6 +14,9 @@ import json
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,7 +28,7 @@ def main():
 
     NEL = 64
     P = 2
-    CHUNK = 8192
+    CHUNK = 32768
     dtype = jnp.float32
 
     sp = make_space(3, p=P, nel=NEL, dtype=dtype)

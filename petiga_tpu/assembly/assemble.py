@@ -180,6 +180,7 @@ def assemble_system(
     order: Optional[int] = None,
     chunk: Optional[int] = None,
     apply_fix: bool = True,
+    method: str = "auto",
 ):
     """Assemble (A, b) from a Galerkin system form
     (IGAComputeSystem, petigaksp.c:149-202).
@@ -188,17 +189,22 @@ def assemble_system(
     K reshapeable to (nen*dof, nen*dof) and F to (nen*dof).
     ``boundary(pt, ctx) -> (K, F)`` is evaluated on faces flagged with
     ``space.set_boundary_form`` (IGAElementNextForm, petigaelem.c:427-447).
+
+    ``method``: "shift" uses the scatter-free shifted-slice accumulation
+    (regular knot vectors), "scatter" the index-based scatter-add,
+    "auto" picks shift when available.
     """
+    from . import fastpath
+
     st = stencil_of(space)
     dt = space.dtype
     nen, dof = space.nen, space.dof
-    A_data = jnp.zeros((st.nnodes * st.K, dof, dof), dtype=dt)
-    b = jnp.zeros((st.nnodes, dof), dtype=dt)
     mapping = space.device("mapping")
+    fast = method != "scatter" and fastpath.is_regular(space)
+    if method == "shift" and not fast:
+        raise ValueError("shift method requires a regular (non-collocation) space")
 
-    def chunk_body(carry, xs, face=None, form=None):
-        A_data, b = carry
-        ids, valid = xs
+    def element_KF(ids, valid, face, form):
         pb = tabulate_elements(space, ids, order=order, face=face)
         emap = mapping[ids]
 
@@ -213,30 +219,75 @@ def assemble_system(
         Ke = jnp.zeros((B, nen * dof, nen * dof), dtype=dt)
         Fe = jnp.zeros((B, nen * dof), dtype=dt)
         Ke, Fe = _scan_points(pb, body, (Ke, Fe))
-
         if apply_fix:
             m, v = _fix_arrays(space, emap)
             Ke, Fe = _fix_system(Ke, Fe, m, v)
-
+        vmask = valid.astype(dt)
+        Ke = Ke * vmask[:, None, None]
+        Fe = Fe * vmask[:, None]
         Ke = Ke.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4)
-        A_data = _scatter_matrix(space, A_data, Ke, emap, valid)
-        b = _scatter_vector(space, b, Fe.reshape(B, nen, dof), emap, valid)
-        return A_data, b
+        return Ke, Fe.reshape(B, nen, dof), emap
 
-    ids, valid = _chunks(space, chunk)
-    A_data, b = jax.lax.scan(
-        lambda c, x: (chunk_body(c, x, form=system), None), (A_data, b), (ids, valid)
-    )[0]
+    slot_np = st.slot_table(space.nen_shape)
+
+    if fast:
+        if chunk is None:
+            chunk = min(space.nel, 8192)
+        chunk_sz = fastpath.slab_chunk(space, chunk)
+        slab = 1 if space.dim == 1 else int(np.prod(space.elem_shape[:-1]))
+        kz = chunk_sz // slab
+        ids, valid = _chunks(space, chunk_sz)
+        nchunks = ids.shape[0]
+        N_rev = list(space.node_shape[::-1])
+        crop = N_rev[0]
+        if not space.periodic[-1]:
+            # over-allocate the slow axis so padded trailing chunks still
+            # fit their static placement windows; cropped afterwards
+            from .fastpath import _steps
+
+            s_last = _steps(space)[-1]
+            need = (nchunks * kz - 1) * s_last + 1 + space.degrees[-1]
+            N_rev[0] = max(N_rev[0], need)
+        N_rev = tuple(N_rev)
+        A_grid = jnp.zeros(N_rev + (st.K, dof, dof), dt)
+        b_grid = jnp.zeros(N_rev + (dof,), dt)
+
+        # static placement per chunk (python loop; z0 must be static so
+        # the adds are static slices XLA updates in place)
+        for c in range(nchunks):
+            Ke, Fe, _ = element_KF(ids[c], valid[c], None, system)
+            A_grid = fastpath.accumulate_matrix(space, A_grid, Ke, c * kz, slot_np)
+            b_grid = fastpath.accumulate_vector(space, b_grid, Fe, c * kz)
+        A_data = A_grid[:crop].reshape(st.nnodes, st.K, dof, dof)
+        b = b_grid[:crop].reshape(st.nnodes, dof)
+    else:
+        A_data = jnp.zeros((st.nnodes * st.K, dof, dof), dtype=dt)
+        b = jnp.zeros((st.nnodes, dof), dtype=dt)
+        ids, valid = _chunks(space, chunk)
+
+        def body(carry, xs):
+            A_data, b = carry
+            ids, valid = xs
+            Ke, Fe, emap = element_KF(ids, valid, None, system)
+            A_data = _scatter_matrix(space, A_data, Ke, emap, valid)
+            b = _scatter_vector(space, b, Fe, emap, valid)
+            return (A_data, b), None
+
+        (A_data, b), _ = jax.lax.scan(body, (A_data, b), (ids, valid))
+        A_data = A_data.reshape(st.nnodes, st.K, dof, dof)
 
     if boundary is not None:
+        A_flat = A_data.reshape(st.nnodes * st.K, dof, dof)
         for d, s in _faces_to_visit(space):
             fids = _face_elements(space, d, s)
-            A_data, b = chunk_body(
-                (A_data, b),
-                (jnp.asarray(fids), jnp.ones(len(fids), bool)),
-                face=(d, s),
-                form=boundary,
+            Ke, Fe, emap = element_KF(
+                jnp.asarray(fids), jnp.ones(len(fids), bool), (d, s), boundary
             )
+            A_flat = _scatter_matrix(space, A_flat, Ke, emap,
+                                     jnp.ones(len(fids), bool))
+            b = _scatter_vector(space, b, Fe, emap,
+                                jnp.ones(len(fids), bool))
+        A_data = A_flat.reshape(st.nnodes, st.K, dof, dof)
 
     flux = boundary_flux_vector(space)
     if flux is not None:
@@ -246,7 +297,7 @@ def assemble_system(
         mask, _ = space.device("dirichlet")
         b = b + jnp.where(mask, 0.0, flux.astype(dt))
 
-    A = StencilMatrix(st, A_data.reshape(st.nnodes, st.K, dof, dof))
+    A = StencilMatrix(st, A_data)
     return A, b
 
 
@@ -467,27 +518,54 @@ def assemble_jacobian(
                     Ue.reshape(B, nen * dof), pb, m, v, aux_e
                 )
 
-        A_data = _scatter_matrix(
-            space,
-            A_data,
-            Je.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4),
-            emap,
-            valid,
-        )
-        return A_data, None
+        Je = Je.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4)
+        Je = Je * valid.astype(dt)[:, None, None, None, None]
+        return Je, emap
 
-    A_data, _ = jax.lax.scan(
-        lambda c, x: chunk_body(c, x, jacform=jacobian), A_data, (ids, valid)
-    )
+    from . import fastpath
+
+    fast = fastpath.is_regular(space)
+    slot_np = st.slot_table(space.nen_shape)
+    if fast:
+        if chunk is None:
+            chunk_sz = fastpath.slab_chunk(space, min(space.nel, 8192))
+        else:
+            chunk_sz = fastpath.slab_chunk(space, chunk)
+        slab = 1 if space.dim == 1 else int(np.prod(space.elem_shape[:-1]))
+        kz = chunk_sz // slab
+        ids, valid = _chunks(space, chunk_sz)
+        nchunks = ids.shape[0]
+        N_rev = list(space.node_shape[::-1])
+        crop = N_rev[0]
+        if not space.periodic[-1]:
+            from .fastpath import _steps
+
+            s_last = _steps(space)[-1]
+            need = (nchunks * kz - 1) * s_last + 1 + space.degrees[-1]
+            N_rev[0] = max(N_rev[0], need)
+        N_rev = tuple(N_rev)
+        A_grid = jnp.zeros(N_rev + (st.K, dof, dof), dt)
+        for c in range(nchunks):
+            Je, _ = chunk_body(None, (ids[c], valid[c]), jacform=jacobian)
+            A_grid = fastpath.accumulate_matrix(space, A_grid, Je, c * kz, slot_np)
+        A_data = A_grid[:crop].reshape(st.nnodes * st.K, dof, dof)
+    else:
+        def body(carry, xs):
+            A_data = carry
+            Je, emap = chunk_body(None, xs, jacform=jacobian)
+            ids, valid = xs
+            return _scatter_matrix(space, A_data, Je, emap, valid), None
+
+        A_data, _ = jax.lax.scan(body, A_data, (ids, valid))
+
     if boundary is not None:
         for d, s in _faces_to_visit(space):
             fids = _face_elements(space, d, s)
-            A_data, _ = chunk_body(
-                A_data,
-                (jnp.asarray(fids), jnp.ones(len(fids), bool)),
-                face=(d, s),
-                form=boundary,
+            fv = jnp.ones(len(fids), bool)
+            Je, emap = chunk_body(
+                None, (jnp.asarray(fids), fv), face=(d, s), form=boundary
             )
+            A_data = _scatter_matrix(space, A_data, Je, emap, fv)
     return StencilMatrix(st, A_data.reshape(st.nnodes, st.K, dof, dof))
 
 

@@ -1,0 +1,239 @@
+"""Shift-structured assembly accumulation — the TPU-native replacement
+for scatter-add matrix assembly.
+
+On regular knot vectors (per-axis element offsets in arithmetic
+progression ``offset[e] = s_d * e`` — true for any uniform-multiplicity
+axis, open or periodic), the map from element blocks to stencil slots is
+translation-invariant *in the element index too*:
+
+    A[node i, slot(b-a)] += Ke[e, a, b]   with   i_d = s_d e_d + a_d.
+
+So accumulation is a static strided-slice add of the element-grid-shaped
+array ``Ke[:, a, b]`` into the node grid — no scatter, no gather, just
+(nen)^2 shifted adds that XLA fuses into streaming memory traffic.  This
+replaces the scatter path (petigamat/MatSetValues analog) at ~10x-100x
+lower cost on TPU; irregular spaces (collocation, mixed continuity)
+fall back to scatter.
+
+Element chunks must be whole slabs of the slowest axis (see
+``slab_chunk``) so each chunk occupies a contiguous node range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ["is_regular", "slab_chunk", "accumulate_matrix", "accumulate_vector"]
+
+
+def is_regular(space) -> bool:
+    """Offsets in arithmetic progression on every axis (and not
+    collocation)."""
+    if space.collocation:
+        return False
+    for d, t in enumerate(space.tabs):
+        off = t.offset
+        if len(off) > 1:
+            dd = np.diff(off)
+            if not np.all(dd == dd[0]):
+                return False
+            if space.periodic[d] and dd[0] != 1:
+                return False
+    return True
+
+
+def _steps(space):
+    return tuple(
+        int(t.offset[1] - t.offset[0]) if t.nel > 1 else 1 for t in space.tabs
+    )
+
+
+def slab_chunk(space, target: int) -> int:
+    """Round a target chunk size to whole slabs of the slowest axis."""
+    eshape = space.elem_shape
+    slab = int(np.prod(eshape[:-1])) if space.dim > 1 else 1
+    if space.dim == 1:
+        return min(target, eshape[0])
+    k = max(1, target // slab)
+    k = min(k, eshape[-1])
+    return k * slab
+
+
+def _local_multi(space):
+    grids = np.meshgrid(*[np.arange(n) for n in space.nen_shape], indexing="ij")
+    return [g.ravel(order="F") for g in grids]
+
+
+def _place(space, g, a_multi, skip_last):
+    """Pad (open) / roll (periodic) an element-grid-shaped array into the
+    node grid along every axis except (optionally) the slowest.
+
+    g: (..., E_rev layout ..., trailing) — operates on the spatial axes
+    which are assumed to be the leading ``dim`` axes in reversed order,
+    possibly with the slowest axis replaced by a chunk extent.
+    """
+    dim = space.dim
+    steps = _steps(space)
+    N = space.node_shape
+    eshape = space.elem_shape
+    ndim_extra = g.ndim - dim
+    for gax in range(dim):  # grid axis gax = spatial axis dim-1-gax
+        d = dim - 1 - gax
+        if skip_last and d == dim - 1:
+            continue
+        a_d = int(a_multi[d])
+        s_d = steps[d]
+        n_el = g.shape[gax]
+        if space.periodic[d]:
+            # node index (s e + a) mod N; s==1 for periodic max continuity
+            if s_d == 1 and n_el == N[d]:
+                g = jnp.roll(g, a_d, axis=gax)
+                continue
+        # open (or strided) placement: scatter-free via pad (+ dilation)
+        if s_d > 1:
+            # dilate: put entries at positions s*e; extent (n_el-1)*s + 1
+            n_ext = (n_el - 1) * s_d + 1
+            shape = list(g.shape)
+            shape[gax] = n_ext
+            gz = jnp.zeros(shape, g.dtype)
+            idx = [slice(None)] * g.ndim
+            idx[gax] = slice(0, n_ext, s_d)
+            g = gz.at[tuple(idx)].set(g)
+        else:
+            n_ext = n_el
+        if space.periodic[d]:
+            raise AssertionError(
+                "periodic axis must satisfy the roll branch (is_regular "
+                "guards this)"
+            )
+        g = jnp.pad(g, _padspec(g.ndim, gax, a_d, N[d] - n_ext - a_d))
+    return g
+
+
+def _padspec(ndim, ax, lo, hi):
+    spec = [(0, 0)] * ndim
+    spec[ax] = (lo, hi)
+    return spec
+
+
+def accumulate_matrix(space, A_grid, Ke, z0, slot_table):
+    """Add one chunk of element blocks into the stencil node grid.
+
+    Args:
+      A_grid: (N_rev..., K, dof, dof) accumulator.
+      Ke: (B, nen, nen, dof, dof) element blocks, B = whole slabs of the
+        slowest axis starting at slab index z0 (traced scalar ok).
+      z0: starting slab index along the slowest axis (STATIC int).
+      slot_table: (nen, nen) numpy slot indices.
+
+    Returns updated A_grid.
+    """
+    dim = space.dim
+    dof = space.dof
+    eshape = space.elem_shape
+    steps = _steps(space)
+    nen = space.nen
+    nshape = space.nen_shape
+    p = space.degrees
+    locs = _local_multi(space)
+    B = Ke.shape[0]
+    kz = B // int(np.prod(eshape[:-1])) if dim > 1 else B
+    # chunk element grid, reversed layout (slowest first); local column
+    # index b unflattened into its (reversed) box so that, for fixed a,
+    # the whole b-box lands in ONE contiguous sub-box of the slot box
+    # (slot = b - a + p per axis): one fused slice-add per a.
+    chunk_shape = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
+    bbox_rev = tuple(nshape[::-1])
+    KeG = Ke.reshape(chunk_shape + (nen,) + bbox_rev + (dof, dof))
+
+    K = A_grid.shape[dim]
+    N = space.node_shape
+    Ny_rev = tuple(N[:-1][::-1]) if dim > 1 else ()
+    s_last = steps[-1]
+    periodic_last = space.periodic[-1]
+    # view the accumulator with the slot axis unflattened (reversed box)
+    sbox_rev = tuple(2 * p[d] + 1 for d in range(dim))[::-1]
+    Agv = A_grid.reshape(A_grid.shape[:dim] + sbox_rev + (dof, dof))
+
+    for a in range(nen):
+        a_multi = [int(locs[d][a]) for d in range(dim)]
+        az = a_multi[dim - 1]
+        ext_last = (kz - 1) * s_last + 1
+        g = KeG[(Ellipsis, a) + (slice(None),) * (dim + 2)]
+        # (chunk_rev..., b_rev..., dof, dof) — place node axes (b-independent)
+        g = _place(space, g, a_multi, skip_last=True)
+        if s_last > 1:
+            shape = list(g.shape)
+            shape[0] = ext_last
+            gz = jnp.zeros(shape, g.dtype)
+            g = gz.at[:: s_last].set(g)
+        # slot sub-box for this a: per axis slice(p_d - a_d, ... + p_d + 1)
+        slot_sl = tuple(
+            slice(p[dim - 1 - gx] - a_multi[dim - 1 - gx],
+                  p[dim - 1 - gx] - a_multi[dim - 1 - gx] + nshape[dim - 1 - gx])
+            for gx in range(dim)
+        )
+        start = int(z0) * s_last + az
+        if periodic_last and s_last == 1:
+            Nz = Agv.shape[0]
+            idx = np.arange(start, start + ext_last) % Nz
+            split = np.where(np.diff(idx) != 1)[0]
+            tail = (slice(None),) * (dim - 1) + slot_sl + (slice(None),) * 2
+            if len(split) == 0:
+                Agv = Agv.at[(slice(idx[0], idx[0] + ext_last),) + tail].add(g)
+            else:
+                k = int(split[0]) + 1
+                Agv = Agv.at[(slice(idx[0], None),) + tail].add(g[:k])
+                Agv = Agv.at[(slice(0, ext_last - k),) + tail].add(g[k:])
+        else:
+            tail = (slice(None),) * (dim - 1) + slot_sl + (slice(None),) * 2
+            Agv = Agv.at[(slice(start, start + ext_last),) + tail].add(g)
+    return Agv.reshape(A_grid.shape)
+
+
+def accumulate_vector(space, b_grid, Fe, z0):
+    """Same shift placement for element load vectors.
+
+    b_grid: (N_rev..., dof); Fe: (B, nen, dof)."""
+    dim = space.dim
+    dof = space.dof
+    eshape = space.elem_shape
+    steps = _steps(space)
+    nen = space.nen
+    locs = _local_multi(space)
+    B = Fe.shape[0]
+    kz = B // int(np.prod(eshape[:-1])) if dim > 1 else B
+    chunk_shape = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
+    FeG = Fe.reshape(chunk_shape + (nen, dof))
+    N = space.node_shape
+    Ny_rev = tuple(N[:-1][::-1]) if dim > 1 else ()
+    s_last = steps[-1]
+    periodic_last = space.periodic[-1]
+
+    for a in range(nen):
+        a_multi = [int(locs[d][a]) for d in range(dim)]
+        az = a_multi[dim - 1]
+        ext_last = (kz - 1) * s_last + 1
+        g = FeG[..., a, :]
+        g = _place(space, g, a_multi, skip_last=True)
+        if s_last > 1:
+            shape = list(g.shape)
+            shape[0] = ext_last
+            gz = jnp.zeros(shape, g.dtype)
+            g = gz.at[:: s_last].set(g)
+        start = int(z0) * s_last + az
+        if periodic_last and s_last == 1:
+            Nz = b_grid.shape[0]
+            idx = (np.arange(start, start + ext_last) % Nz)
+            split = np.where(np.diff(idx) != 1)[0]
+            if len(split) == 0:
+                b_grid = b_grid.at[idx[0] : idx[0] + ext_last].add(g)
+            else:
+                k = int(split[0]) + 1
+                b_grid = b_grid.at[idx[0] :].add(g[:k])
+                b_grid = b_grid.at[: ext_last - k].add(g[k:])
+        else:
+            b_grid = b_grid.at[start : start + ext_last].add(g)
+    return b_grid
