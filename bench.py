@@ -22,7 +22,7 @@ import numpy as np
 
 
 def main():
-    from petiga_tpu.models.poisson import make_space, poisson_system
+    from petiga_tpu.models.poisson import make_space, poisson_system, poisson_system_q
     from petiga_tpu.assembly.assemble import assemble_system, stencil_of
     from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
 
@@ -49,7 +49,7 @@ def main():
 
     @jax.jit
     def assemble():
-        A, b = assemble_system(sp, poisson_system, ctx, chunk=CHUNK)
+        A, b = assemble_system(sp, poisson_system_q, ctx, chunk=CHUNK)
         return A.data, b
 
     t0 = time.time()

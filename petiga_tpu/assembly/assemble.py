@@ -193,6 +193,13 @@ def assemble_system(
     ``method``: "shift" uses the scatter-free shifted-slice accumulation
     (regular knot vectors), "scatter" the index-based scatter-add,
     "auto" picks shift when available.
+
+    ``qbatched`` forms: if ``system`` has an attribute ``qbatched=True``
+    it is called as ``system(pt, w, ctx)`` with Point leaves carrying a
+    leading quadrature axis (Q, ...) and weights w (Q,), and must return
+    the quadrature-summed (K, F) — this lets the form contract over q
+    with one MXU matmul instead of scanned outer products (the
+    speed-of-light path for bilinear forms).
     """
     from . import fastpath
 
@@ -207,18 +214,30 @@ def assemble_system(
     def element_KF(ids, valid, face, form):
         pb = tabulate_elements(space, ids, order=order, face=face)
         emap = mapping[ids]
-
-        def body(acc, pt, w):
-            Ka, Fa = acc
-            K, F = jax.vmap(lambda p: form(p, ctx))(pt)
-            K = jax.vmap(lambda k: _normalize_K(k, nen, dof, dt))(K)
-            F = jax.vmap(lambda f: _normalize_F(f, nen, dof, dt))(F)
-            return (Ka + w[:, None, None] * K, Fa + w[:, None] * F)
-
         B = ids.shape[0]
-        Ke = jnp.zeros((B, nen * dof, nen * dof), dtype=dt)
-        Fe = jnp.zeros((B, nen * dof), dtype=dt)
-        Ke, Fe = _scan_points(pb, body, (Ke, Fe))
+
+        if getattr(form, "qbatched", False):
+            pts = _points_of(pb)
+
+            def one(pt, w):
+                K, F = form(pt, w, ctx)
+                return (
+                    _normalize_K(K, nen, dof, dt),
+                    _normalize_F(F, nen, dof, dt),
+                )
+
+            Ke, Fe = jax.vmap(one)(pts, pb.weight)
+        else:
+            def body(acc, pt, w):
+                Ka, Fa = acc
+                K, F = jax.vmap(lambda p: form(p, ctx))(pt)
+                K = jax.vmap(lambda k: _normalize_K(k, nen, dof, dt))(K)
+                F = jax.vmap(lambda f: _normalize_F(f, nen, dof, dt))(F)
+                return (Ka + w[:, None, None] * K, Fa + w[:, None] * F)
+
+            Ke = jnp.zeros((B, nen * dof, nen * dof), dtype=dt)
+            Fe = jnp.zeros((B, nen * dof), dtype=dt)
+            Ke, Fe = _scan_points(pb, body, (Ke, Fe))
         if apply_fix:
             m, v = _fix_arrays(space, emap)
             Ke, Fe = _fix_system(Ke, Fe, m, v)

@@ -65,6 +65,24 @@ def poisson_system(pt, ctx):
     return K, F
 
 
+def poisson_system_q(pt, w, ctx):
+    """q-batched variant: Point leaves carry a leading quadrature axis;
+    the q-contraction is one MXU matmul (the fast assembly path)."""
+    c = ctx.get("c", 0.0)
+    k = ctx.get("k", 1.0)
+    dim = pt.u.shape[-1]
+    f = (c + k * dim * jnp.pi**2) * jnp.prod(jnp.sin(jnp.pi * pt.x), axis=-1)
+    N0, N1 = pt.shape0, pt.shape1  # (Q, nen), (Q, nen, dim)
+    K = k * jnp.einsum("q,qai,qbi->ab", w, N1, N1)
+    if c != 0.0:
+        K = K + c * jnp.einsum("q,qa,qb->ab", w, N0, N0)
+    F = jnp.einsum("q,qa->a", w * f, N0)
+    return K, F
+
+
+poisson_system_q.qbatched = True
+
+
 def make_space(dim, p=2, nel=8, continuity=None, dtype=jnp.float32, **kw) -> Space:
     axes = [Axis.uniform(p=p, nel=nel, continuity=continuity) for _ in range(dim)]
     sp = Space(axes, dof=1, dtype=dtype, **kw)

@@ -81,10 +81,11 @@ class AlphaStepper:
     damping: α_m = ½(3-ρ)/(1+ρ), α_f = 1/(1+ρ), γ = ½ + α_m - α_f."""
 
     space: object
-    ifunction: Callable
+    ifunction: Callable = None
     rho_inf: float = 0.5
     ctx: Optional[dict] = None
     newton_kw: dict = dataclasses.field(default_factory=dict)
+    iefunction: Callable = None  # IEFunction variant carrying (t0, U0)
 
     def coeffs(self):
         r = self.rho_inf
@@ -96,6 +97,14 @@ class AlphaStepper:
     def __post_init__(self):
         am, af, g = self.coeffs()
         sp, ifn, ctx, nkw = self.space, self.ifunction, self.ctx, self.newton_kw
+        iefn = self.iefunction
+        if ifn is None and iefn is None:
+            raise ValueError("need ifunction or iefunction")
+        if ifn is None:
+            # adapt the IE form (petigats.c IEFunction: extra (t0, U0)
+            # arguments for energy-stable semi-implicit splittings)
+            def ifn(pt, shift, Ve, t, Ue, c, _aux=None):
+                raise RuntimeError  # replaced below
 
         @jax.jit
         def step_fn(U, V, t, dt):
@@ -105,7 +114,10 @@ class AlphaStepper:
                 V1e = (Xe - U0e) / (g * dt) + (1 - 1 / g) * V0e
                 Uaf = U0e + af * (Xe - U0e)
                 Vam = V0e + am * (V1e - V0e)
-                return ifn(pt, am * af / (g * dt), Vam, t + af * dt, Uaf, c)
+                shift = am * af / (g * dt)
+                if iefn is not None:
+                    return iefn(pt, shift, Vam, t + af * dt, Uaf, t, U0e, c)
+                return ifn(pt, shift, Vam, t + af * dt, Uaf, c)
 
             res = newton(sp, form, U, ctx, aux={"U0": U, "V0": V}, **nkw)
             U1 = res.U
@@ -115,6 +127,8 @@ class AlphaStepper:
         @jax.jit
         def v0_fn(U, t):
             def form(pt, Xe, aux_e, c):
+                if iefn is not None:
+                    return iefn(pt, 1.0, Xe, t, aux_e["U0"], t, aux_e["U0"], c)
                 return ifn(pt, 1.0, Xe, t, aux_e["U0"], c)
 
             V0 = jnp.zeros((sp.nnodes, sp.dof), sp.dtype)

@@ -75,3 +75,17 @@ def test_regularity_detection():
     # mixed multiplicities are irregular
     U = [0, 0, 0, 0.3, 0.5, 0.5, 1, 1, 1]
     assert not is_regular(Space([Axis.from_knots(2, U)], dtype=F64))
+
+
+def test_qbatched_form_matches_pointwise():
+    from petiga_tpu.models.poisson import (
+        make_space, poisson_system, poisson_system_q,
+    )
+
+    sp1 = make_space(2, p=2, nel=6, dtype=F64)
+    sp2 = make_space(2, p=2, nel=6, dtype=F64)
+    ctx = {"c": 0.7, "k": 1.3}
+    A1, b1 = assemble_system(sp1, poisson_system, ctx)
+    A2, b2 = assemble_system(sp2, poisson_system_q, ctx)
+    np.testing.assert_allclose(np.asarray(A1.data), np.asarray(A2.data), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-13)
