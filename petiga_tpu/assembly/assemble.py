@@ -64,6 +64,8 @@ def _points_of(pb: PointBlock, q: int = None):
         shape2=pb.shape[2] if order >= 2 else None,
         shape3=pb.shape[3] if order >= 3 else None,
         normal=pb.normal,
+        gmap1=pb.gmap1,
+        gmap2=pb.gmap2,
     )
 
 

@@ -28,6 +28,8 @@ class Point(NamedTuple):
     shape2: Optional[jnp.ndarray] = None  # (nen, nsd, nsd)
     shape3: Optional[jnp.ndarray] = None  # (nen, nsd, nsd, nsd)
     normal: Optional[jnp.ndarray] = None  # (nsd,)
+    gmap1: Optional[jnp.ndarray] = None  # (nsd, dim) surface tangents
+    gmap2: Optional[jnp.ndarray] = None  # (nsd, dim, dim) curvatures
 
     @property
     def nen(self) -> int:

@@ -57,6 +57,10 @@ class PointBlock(NamedTuple):
     shape: tuple  # shape[0..order]
     detX: Optional[jnp.ndarray]  # (B, Q) geometry det, None if identity map
     normal: Optional[jnp.ndarray]  # (B, Q, nsd) outward normal on faces
+    gmap1: Optional[jnp.ndarray] = None  # (B, Q, nsd, dim) dx_i/du_a —
+    # surface tangents for dim != nsd manifolds (shell models compute
+    # their metric from this, like the reference's mapX[1] access)
+    gmap2: Optional[jnp.ndarray] = None  # (B, Q, nsd, dim, dim) curvature
 
     @property
     def nen(self) -> int:
@@ -487,12 +491,16 @@ def tabulate_elements(
 
     detX = None
     normal = None
+    gmap1 = None
+    gmap2 = None
     x = u
     S = N
     if space.has_geometry:
         Xe = space.device("geometry")[emap]  # (B, nen, nsd)
         X = geometry_map(N, Xe)
         x = X[0]
+        gmap1 = X[1]
+        gmap2 = X[2] if len(X) > 2 else None
         if dim == space.nsd:
             detX, E = inverse_map(X)
             S = push_forward(N, E)
@@ -503,10 +511,12 @@ def tabulate_elements(
                 dS, normal = get_normal(face[0], face[1], X[1])
                 if not space.collocation:
                     weight = weight * dS
-        # dim != nsd (manifold): shapes stay parametric, like the reference
+        # dim != nsd (manifold): shapes stay parametric and the form
+        # builds its metric from gmap1/gmap2 (petigaelem.c:960-963)
     elif face is not None:
         nrm = jnp.zeros((B, Q, space.nsd), dtype=dt)
         nrm = nrm.at[..., face[0]].set(1.0 if face[1] else -1.0)
         normal = nrm
 
-    return PointBlock(u=u, x=x, weight=weight, shape=tuple(S), detX=detX, normal=normal)
+    return PointBlock(u=u, x=x, weight=weight, shape=tuple(S), detX=detX,
+                      normal=normal, gmap1=gmap1, gmap2=gmap2)

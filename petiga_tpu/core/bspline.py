@@ -49,6 +49,14 @@ def bspline_ders(
     B = len(u)
     d = min(nder, p)
 
+    if B >= 4096:
+        # large tabulations go through the native C++ kernel (same
+        # algorithm; see petiga_tpu/native/core.cpp)
+        from .. import native
+
+        if native.available():
+            return native.bspline_ders(U, p, spans, u, nder)
+
     # triangular table of basis values: ndu[b, j, r]
     ndu = np.zeros((B, p + 1, p + 1))
     left = np.zeros((B, p + 1))

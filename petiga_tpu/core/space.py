@@ -180,7 +180,19 @@ class Space:
 
         Local basis ordering is axis-0 fastest, matching the tensor-product
         tabulation (reference builds the same map at petigaelem.c:693-755).
+        Large meshes use the native C++ builder (petiga_tpu/native).
         """
+        if self.nel >= 4096:
+            from .. import native
+
+            if native.available():
+                return native.build_mapping(
+                    self.dim,
+                    self.elem_shape,
+                    self.nen_shape,
+                    self.node_shape,
+                    [t.offset for t in self.tabs],
+                )
         per_axis = self.axis_node_index
         eshape = self.elem_shape
         # element multi-indices, axis 0 fastest
