@@ -49,7 +49,7 @@ def main():
 
     @jax.jit
     def assemble():
-        A, b = assemble_system(sp, poisson_system_q, ctx, chunk=CHUNK)
+        A, b = assemble_system(sp, poisson_system, ctx, chunk=CHUNK)
         return A.data, b
 
     t0 = time.time()
