@@ -337,6 +337,195 @@ class DistSpace:
             b = b + fl
         return data, b
 
+    # ----------------------------------------------- residual / Jacobian
+
+    def _local_rows(self, ids):
+        """Extended-buffer row index per (element, a) — inside shard_map."""
+        sp = self.space
+        dim = sp.dim
+        L, p = self.L, self.widths
+        Lext = tuple(L[d] + 2 * p[d] for d in range(dim))
+        offs = [jnp.asarray(sp.tabs[d].offset) for d in range(dim)]
+        eshape = sp.elem_shape
+        grids = np.meshgrid(*[np.arange(n) for n in sp.nen_shape], indexing="ij")
+        locs = [jnp.asarray(g.ravel(order="F")) for g in grids]
+        B = ids.shape[0]
+        rem = ids
+        loc_rows = jnp.zeros((B, sp.nen), jnp.int32)
+        stride = 1
+        for d in range(dim):
+            e_d = rem % eshape[d]
+            rem = rem // eshape[d]
+            r_d = jax.lax.axis_index(self.names[d])
+            idx = offs[d][e_d][:, None] + locs[d][None, :]
+            idx = idx - r_d * L[d] + p[d]
+            loc_rows = loc_rows + idx.astype(jnp.int32) * stride
+            stride *= Lext[d]
+        return loc_rows, Lext
+
+    def assemble_function(self, function, U, ctx=None, *, aux=None,
+                          order=None):
+        """Distributed IGAComputeFunction: halo-gather U, per-device
+        element residuals with fix-value semantics, reverse-halo fold.
+        U and aux values are padded sharded grids (Np_rev..., dof)."""
+        from ..assembly.assemble import _element_residual
+
+        sp = self.space
+        dim, dof, nen = sp.dim, sp.dof, sp.nen
+        dt = sp.dtype
+        mapping = sp.device("mapping")
+        flux = boundary_flux_vector(sp)
+
+        def local(elem_ids, elem_valid, U_loc, *aux_locs):
+            ids = elem_ids.reshape(-1)
+            valid = elem_valid.reshape(-1)
+            B = ids.shape[0]
+            pb = tabulate_elements(sp, ids, order=order)
+            emap = mapping[ids]
+            loc_rows, Lext = self._local_rows(ids)
+            Uext = self.halo_gather(U_loc).reshape(-1, dof)
+            Ue = Uext[loc_rows]  # (B, nen, dof)
+            aux_e = None
+            if aux is not None:
+                aux_e = {}
+                for (k, _), al in zip(aux.items(), aux_locs):
+                    ext = self.halo_gather(al)
+                    aux_e[k] = ext.reshape(-1, ext.shape[-1])[loc_rows]
+            m, v = _fix_arrays(sp, emap)
+            uorig = Ue.reshape(B, nen * dof)
+            Re = _element_residual(
+                sp, function, ctx, pb, Ue, m, v, uorig, order, aux_e
+            )
+            Re = Re * valid.astype(dt)[:, None]
+            next_ext = int(np.prod(Lext))
+            b_ext = jnp.zeros((next_ext, dof), dt)
+            b_ext = b_ext.at[loc_rows.reshape(-1)].add(
+                Re.reshape(B, nen, dof).reshape(-1, dof), mode="drop"
+            )
+            b_ext = b_ext.reshape(tuple(Lext[::-1]) + (dof,))
+            return self.halo_fold(b_ext).reshape(tuple(self.L[::-1]) + (dof,))
+
+        naux = 0 if aux is None else len(aux)
+        shard = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self.elem_spec(), self.elem_spec(), self.grid_spec(1))
+            + (self.grid_spec(1),) * naux,
+            out_specs=self.grid_spec(1),
+            check_vma=False,
+        )
+        args = [jnp.asarray(self.elem_ids), jnp.asarray(self.elem_valid), U]
+        if aux is not None:
+            args += list(aux.values())
+        F = shard(*args)
+        if flux is not None:
+            mask = sp.device("dirichlet")[0]
+            F = F - self.pad_grid(jnp.where(mask, 0.0, flux.astype(dt)))
+        return F
+
+    def assemble_jacobian(self, function, U, ctx=None, *, aux=None,
+                          order=None):
+        """Distributed IGAComputeJacobian via forward AD of the element
+        residual; same layout as :meth:`assemble_system`'s A_data."""
+        from ..assembly.assemble import _element_residual
+
+        sp = self.space
+        dim, dof, nen = sp.dim, sp.dof, sp.nen
+        dt = sp.dtype
+        st = self.st
+        K = st.K
+        mapping = sp.device("mapping")
+        slot = jnp.asarray(st.slot_table(sp.nen_shape))
+
+        def local(elem_ids, elem_valid, U_loc, *aux_locs):
+            ids = elem_ids.reshape(-1)
+            valid = elem_valid.reshape(-1)
+            B = ids.shape[0]
+            pb = tabulate_elements(sp, ids, order=order)
+            emap = mapping[ids]
+            loc_rows, Lext = self._local_rows(ids)
+            Uext = self.halo_gather(U_loc).reshape(-1, dof)
+            Ue = Uext[loc_rows]
+            aux_e = None
+            if aux is not None:
+                aux_e = {}
+                for (k, _), al in zip(aux.items(), aux_locs):
+                    ext = self.halo_gather(al)
+                    aux_e[k] = ext.reshape(-1, ext.shape[-1])[loc_rows]
+            m, v = _fix_arrays(sp, emap)
+
+            def elem_res(ue_flat, pb_e, m_e, v_e, aux_el):
+                pb1 = jax.tree.map(lambda a: a[None], pb_e)
+                aux1 = (
+                    None if aux_el is None
+                    else jax.tree.map(lambda a: a[None], aux_el)
+                )
+                r = _element_residual(
+                    sp, function, ctx, pb1, ue_flat.reshape(1, nen, dof),
+                    m_e[None], v_e[None], ue_flat[None], order, aux1,
+                )
+                return r[0]
+
+            if aux_e is None:
+                Je = jax.vmap(
+                    lambda u, pp, mm, vv: jax.jacfwd(elem_res)(u, pp, mm, vv, None)
+                )(Ue.reshape(B, nen * dof), pb, m, v)
+            else:
+                Je = jax.vmap(jax.jacfwd(elem_res))(
+                    Ue.reshape(B, nen * dof), pb, m, v, aux_e
+                )
+            Je = Je * valid.astype(dt)[:, None, None]
+            next_ext = int(np.prod(Lext))
+            data_ext = jnp.zeros((next_ext * K, dof, dof), dt)
+            Jb = Je.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4)
+            sidx = loc_rows[:, :, None] * K + slot[None, :, :]
+            data_ext = data_ext.at[sidx.reshape(-1)].add(
+                Jb.reshape(-1, dof, dof), mode="drop"
+            )
+            data_ext = data_ext.reshape(tuple(Lext[::-1]) + (K * dof * dof,))
+            return self.halo_fold(data_ext).reshape(
+                tuple(self.L[::-1]) + (K, dof, dof)
+            )
+
+        naux = 0 if aux is None else len(aux)
+        shard = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self.elem_spec(), self.elem_spec(), self.grid_spec(1))
+            + (self.grid_spec(1),) * naux,
+            out_specs=self.grid_spec(3),
+            check_vma=False,
+        )
+        args = [jnp.asarray(self.elem_ids), jnp.asarray(self.elem_valid), U]
+        if aux is not None:
+            args += list(aux.values())
+        return shard(*args)
+
+    def newton(self, function, U0, ctx=None, *, rtol=1e-8, maxit=20,
+               linear_rtol=1e-8, order=None):
+        """Distributed Newton-Krylov (SNES analog over the device mesh).
+        U0: flat (nnodes, dof) or padded sharded grid."""
+        sp = self.space
+        dof = sp.dof
+        if U0.ndim == 2 and U0.shape[0] == sp.nnodes:
+            U0 = self.pad_grid(U0)
+
+        def fnorm(F):
+            return jnp.sqrt(jnp.sum(F * F))
+
+        U = U0
+        F = self.assemble_function(function, U, ctx, order=order)
+        f0 = float(fnorm(F))
+        tol = max(rtol * f0, 1e-30)
+        k = 0
+        while float(fnorm(F)) > tol and k < maxit:
+            data = self.assemble_jacobian(function, U, ctx, order=order)
+            dx, it, res = self.cg(data, F, rtol=linear_rtol)
+            U = U - dx
+            F = self.assemble_function(function, U, ctx, order=order)
+            k += 1
+        return self.crop_flat(U), {"iters": k, "fnorm": float(fnorm(F))}
+
     # ------------------------------------------------------------------ spmv
 
     def matvec_local(self, data_loc, x_loc):

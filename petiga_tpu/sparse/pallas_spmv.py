@@ -29,7 +29,9 @@ __all__ = ["pallas_matvec", "supported"]
 
 
 def supported(stencil) -> bool:
-    return stencil.dim == 3
+    # dof > 1 would leave trailing unit/small dims that Mosaic pads to
+    # full (8,128) tiles (catastrophic VMEM blow-up); use the XLA path
+    return stencil.dim == 3 and stencil.dof == 1
 
 
 @functools.partial(
@@ -49,49 +51,44 @@ def _pallas_matvec_3d(data, x, *, N, widths, periodic, dof, interpret=False):
         for ox in range(-p0, p0 + 1)
     ]
 
-    xg = x.reshape(N2, N1, N0, dof)
-    pads = [(p2, p2), (p1, p1), (p0, p0), (0, 0)]
+    assert dof == 1
+    xg = x.reshape(N2, N1, N0)
+    pads = [(p2, p2), (p1, p1), (p0, p0)]
     modes = [periodic[2], periodic[1], periodic[0]]
     xp = xg
     for g in range(3):
-        pw = [(0, 0)] * 4
+        pw = [(0, 0)] * 3
         pw[g] = pads[g]
         xp = jnp.pad(xp, pw, mode="wrap" if modes[g] else "constant")
 
-    dg = data.reshape(N2, N1, N0, K, dof, dof)
+    dg = data.reshape(N2, N1, N0, K)
 
     def kernel(d_ref, xp_ref, y_ref):
         z = pl.program_id(0)
-        acc = jnp.zeros((N1, N0, dof), xp_ref.dtype)
+        acc = jnp.zeros((N1, N0), xp_ref.dtype)
         for s, (ox, oy, oz) in enumerate(offs):
             xs = xp_ref[
                 z + p2 + oz,
                 p1 + oy : p1 + oy + N1,
                 p0 + ox : p0 + ox + N0,
-                :,
             ]
-            if dof == 1:
-                acc = acc + d_ref[0, :, :, s, :, 0] * xs
-            else:
-                acc = acc + jnp.einsum(
-                    "yxab,yxb->yxa", d_ref[0, :, :, s, :, :], xs
-                )
+            acc = acc + d_ref[0, :, :, s] * xs
         y_ref[0] = acc
 
     y = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((N2, N1, N0, dof), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((N2, N1, N0), x.dtype),
         grid=(N2,),
         in_specs=[
             pl.BlockSpec(
-                (1, N1, N0, K, dof, dof),
-                lambda z: (z, 0, 0, 0, 0, 0),
+                (1, N1, N0, K),
+                lambda z: (z, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, N1, N0, dof), lambda z: (z, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, N1, N0), lambda z: (z, 0, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(dg, xp)

@@ -100,3 +100,33 @@ def test_distributed_3d_solve_accuracy():
     err = l2_error(sp, U)
     assert err < 2e-3, err
     assert info["iters"] > 0
+
+
+def test_distributed_newton_bratu():
+    """Distributed residual/Jacobian/Newton matches the serial solve."""
+    from petiga_tpu.models.bratu import bratu_residual, make_space, solve_bratu
+
+    sp_serial = make_space(2, p=2, nel=8, dtype=F64)
+    ref = solve_bratu(sp_serial, lam=5.0, rtol=1e-10)
+
+    sp = make_space(2, p=2, nel=8, dtype=F64)
+    ds = DistSpace(sp, devices=jax.devices()[:4], pgrid=(2, 2))
+    U, info = ds.newton(bratu_residual, jnp.zeros((sp.nnodes, 1), F64),
+                        {"lambda": 5.0}, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(U), np.asarray(ref.U), atol=1e-8)
+
+
+def test_distributed_function_matches_serial():
+    from petiga_tpu.models.bratu import bratu_residual, make_space
+    from petiga_tpu.assembly.assemble import assemble_function
+
+    sp = make_space(2, p=2, nel=9, dtype=F64)
+    rng = np.random.default_rng(7)
+    U = jnp.asarray(rng.normal(scale=0.1, size=(sp.nnodes, 1)))
+    ctx = {"lambda": 2.0}
+    F_ref = assemble_function(sp, bratu_residual, U, ctx)
+    ds = DistSpace(sp, devices=jax.devices()[:8], pgrid=(4, 2))
+    F = ds.assemble_function(bratu_residual, ds.pad_grid(U), ctx)
+    np.testing.assert_allclose(
+        np.asarray(ds.crop_flat(F)), np.asarray(F_ref), atol=1e-12
+    )

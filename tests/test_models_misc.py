@@ -42,3 +42,19 @@ def test_pfc_runs_and_conserves_mass():
     np.testing.assert_allclose(
         float(U[:, 0].mean()), float(U0[:, 0].mean()), rtol=1e-7
     )
+
+
+def test_nsk_short():
+    from petiga_tpu.models import nsk
+
+    sp = nsk.make_space(nel=12)
+    U0 = nsk.vdw_bubble_ic(sp)
+    U = nsk.run(sp, U0, dt=5e-5, nsteps=2)
+    arr = np.asarray(U)
+    assert np.isfinite(arr).all()
+    # density stays in the physical van der Waals window
+    assert arr[:, 0].min() > 0.05 and arr[:, 0].max() < 0.95
+    # mass conserved on the periodic box
+    np.testing.assert_allclose(
+        float(U[:, 0].mean()), float(U0[:, 0].mean()), rtol=1e-6
+    )

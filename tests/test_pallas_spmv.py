@@ -30,7 +30,7 @@ def test_pallas_spmv_matches_xla(periodic):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
 
 
-def test_pallas_spmv_dof2():
+def test_pallas_spmv_dof2_fallback():
     sp = Space([Axis.uniform(p=1, nel=5) for _ in range(3)], dof=2, dtype=F64)
 
     def form(pt, ctx):
