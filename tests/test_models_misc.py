@@ -58,3 +58,15 @@ def test_nsk_short():
     np.testing.assert_allclose(
         float(U[:, 0].mean()), float(U0[:, 0].mean()), rtol=1e-6
     )
+
+
+def test_twophase_injection():
+    from petiga_tpu.models import twophase
+
+    sp = twophase.make_space(nel=16)
+    U0, U = twophase.run(sp, dt=0.02, nsteps=4)
+    arr = np.asarray(U)
+    assert np.isfinite(arr).all()
+    # hydrogen accumulates near the injection face (left), none far field
+    assert arr[0, 1] > 1e-4
+    assert abs(arr[-1, 1]) < 1e-8  # fixed right boundary
