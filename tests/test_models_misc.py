@@ -70,3 +70,23 @@ def test_twophase_injection():
     # hydrogen accumulates near the injection face (left), none far field
     assert arr[0, 1] > 1e-4
     assert abs(arr[-1, 1]) < 1e-8  # fixed right boundary
+
+
+def test_adaptive_l2_projection():
+    import jax.numpy as jnp
+    from petiga_tpu.models.adaptive import adaptive_l2_projection
+
+    # the reference's off-center Gaussian (AdaptiveL2Projection.c:13-18)
+    def f(x):
+        return jnp.asarray(
+            [jnp.exp(-((x[0] - 0.85) ** 2 / 0.03125 + (x[1] - 0.45) ** 2 / 0.08))]
+        )
+
+    sp, U, hist = adaptive_l2_projection(f, dim=2, p=2, n0=3, iters=3)
+    # adaptivity strictly reduces the error each step
+    assert all(hist[i + 1] < hist[i] for i in range(len(hist) - 1)), hist
+    assert hist[-1] < 0.3 * hist[0]
+    # refinement concentrated near the feature: axis-0 breaks denser
+    # around x = 0.85 than near 0
+    b0 = np.asarray(sp.axes[0].U)
+    assert ((b0 > 0.6) & (b0 < 1.0)).sum() > ((b0 > 0.0) & (b0 < 0.4)).sum()

@@ -85,3 +85,11 @@ def test_periodic_poisson():
         )
         err = float(compute_error_norm(sp, res.x, exact, k=0))
         assert err < 5e-4, err
+
+
+def test_logg_challenge():
+    """demo/LoggChallenge.c: -Δu = 2π² sin(πx)sin(πy), L2 error < 1e-6
+    (high-degree splines make this easy: p=4 on a 16² mesh)."""
+    sp = make_space(2, p=4, nel=16, dtype=F64)
+    U, _ = solve_poisson(sp, rtol=1e-13)
+    assert l2_error(sp, U) < 1e-6
