@@ -311,7 +311,7 @@ def inverse_map(X):
     if order >= 2:
         X2 = X[2]  # (B,Q,nsd,dim,dim) : X2[k,a,b]
         # E2[c,i,j] = - X2[k,a,b] E1[a,i] E1[b,j] E1[c,k]
-        E2 = -jnp.einsum("bqkab,bqai,bqbj,bqck->bqcij", X2, E1, E1, E1)
+        E2 = -jnp.einsum("ZQkab,ZQai,ZQbj,ZQck->ZQcij", X2, E1, E1, E1)
         E.append(E2)
     if order >= 3:
         X2, X3 = X[2], X[3]
@@ -319,11 +319,11 @@ def inverse_map(X):
         #   + X2[l,a,b]( E1[a,i]E2[b,j,k] + E1[b,j]E2[a,i,k] + E1[b,k]E2[a,i,j] )
         #  ] E1[d,l]
         E2 = E[2]
-        t1 = jnp.einsum("bqlabc,bqai,bqbj,bqck->bqlijk", X3, E1, E1, E1)
-        t2 = jnp.einsum("bqlab,bqai,bqbjk->bqlijk", X2, E1, E2)
-        t3 = jnp.einsum("bqlab,bqbj,bqaik->bqlijk", X2, E1, E2)
-        t4 = jnp.einsum("bqlab,bqbk,bqaij->bqlijk", X2, E1, E2)
-        E3 = -jnp.einsum("bqlijk,bqdl->bqdijk", t1 + t2 + t3 + t4, E1)
+        t1 = jnp.einsum("ZQlabc,ZQai,ZQbj,ZQck->ZQlijk", X3, E1, E1, E1)
+        t2 = jnp.einsum("ZQlab,ZQai,ZQbjk->ZQlijk", X2, E1, E2)
+        t3 = jnp.einsum("ZQlab,ZQbj,ZQaik->ZQlijk", X2, E1, E2)
+        t4 = jnp.einsum("ZQlab,ZQbk,ZQaij->ZQlijk", X2, E1, E2)
+        E3 = -jnp.einsum("ZQlijk,ZQdl->ZQdijk", t1 + t2 + t3 + t4, E1)
         E.append(E3)
     return detX, E
 
@@ -342,19 +342,19 @@ def push_forward(N, E):
     S = [N[0]]
     if order >= 1:
         E1 = E[1]
-        S.append(jnp.einsum("bqna,bqai->bqni", N[1], E1))
+        S.append(jnp.einsum("ZQna,ZQai->ZQni", N[1], E1))
     if order >= 2:
         E1, E2 = E[1], E[2]
-        S2 = jnp.einsum("bqnab,bqai,bqbj->bqnij", N[2], E1, E1)
-        S2 = S2 + jnp.einsum("bqna,bqaij->bqnij", N[1], E2)
+        S2 = jnp.einsum("ZQnab,ZQai,ZQbj->ZQnij", N[2], E1, E1)
+        S2 = S2 + jnp.einsum("ZQna,ZQaij->ZQnij", N[1], E2)
         S.append(S2)
     if order >= 3:
         E1, E2, E3 = E[1], E[2], E[3]
-        S3 = jnp.einsum("bqnabc,bqai,bqbj,bqck->bqnijk", N[3], E1, E1, E1)
-        S3 = S3 + jnp.einsum("bqnab,bqai,bqbjk->bqnijk", N[2], E1, E2)
-        S3 = S3 + jnp.einsum("bqnab,bqbj,bqaik->bqnijk", N[2], E1, E2)
-        S3 = S3 + jnp.einsum("bqnab,bqbk,bqaij->bqnijk", N[2], E1, E2)
-        S3 = S3 + jnp.einsum("bqna,bqaijk->bqnijk", N[1], E3)
+        S3 = jnp.einsum("ZQnabc,ZQai,ZQbj,ZQck->ZQnijk", N[3], E1, E1, E1)
+        S3 = S3 + jnp.einsum("ZQnab,ZQai,ZQbjk->ZQnijk", N[2], E1, E2)
+        S3 = S3 + jnp.einsum("ZQnab,ZQbj,ZQaik->ZQnijk", N[2], E1, E2)
+        S3 = S3 + jnp.einsum("ZQnab,ZQbk,ZQaij->ZQnijk", N[2], E1, E2)
+        S3 = S3 + jnp.einsum("ZQna,ZQaijk->ZQnijk", N[1], E3)
         S.append(S3)
     if order >= 4:
         S.append(jnp.zeros_like(N[4]))  # matches reference (unimplemented)

@@ -191,3 +191,57 @@ def test_periodic_mapping_wraps():
     assert m.max() < sp.nnodes == 6
     # last element closure wraps to node 0
     assert 0 in m[-1]
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_mapped_identity_derivatives(dim):
+    """IGAGeometryMap.c-style consistency: interpolating the geometry
+    coordinates themselves, the pushed-forward field must satisfy
+    value = x, grad = I, hess = 0 at every quadrature point."""
+    from petiga_tpu.core.bspline import bspline_ders
+
+    sp = Space([Axis.uniform(p=3, nel=3) for _ in range(dim)], dtype=F64,
+               order=3)
+
+    def warp(u):
+        out = [u[..., d] + 0.1 * u[..., (d + 1) % dim] ** 2 for d in range(dim)]
+        return np.stack(out, axis=-1)
+
+    # least-squares fit of the (polynomial, hence exactly representable)
+    # warp on a tensor sample grid, using the separable basis structure
+    grids = [np.linspace(0, 1, 9) for _ in range(dim)]
+    mats = []
+    for d in range(dim):
+        ax = sp.axes[d]
+        sp_d = ax.find_span(grids[d])
+        dd = bspline_ders(ax.U, ax.p, sp_d, grids[d], 0)
+        Bd = np.zeros((len(grids[d]), ax.nbasis))
+        for j in range(ax.p + 1):
+            Bd[np.arange(len(grids[d])), sp_d - ax.p + j] = dd[:, 0, j]
+        mats.append(Bd)
+    if dim == 2:
+        M = np.einsum("pa,qb->qpba", mats[0], mats[1]).reshape(
+            mats[0].shape[0] * mats[1].shape[0], -1
+        )
+    else:
+        M = np.einsum("pa,qb,rc->rqpcba", mats[0], mats[1], mats[2]).reshape(
+            mats[0].shape[0] * mats[1].shape[0] * mats[2].shape[0], -1
+        )
+    mesh = np.meshgrid(*grids, indexing="ij")
+    pts = np.stack([m.ravel(order="F") for m in mesh], axis=-1)
+    X = warp(pts)
+    coef, res_, *_ = np.linalg.lstsq(M, X, rcond=None)
+    sp.init_geometry(coef)
+
+    ids = jnp.arange(sp.nel)
+    pb = tabulate_elements(sp, ids, order=2)
+    ce = jnp.asarray(coef)[sp.mapping[np.asarray(ids)]]  # (B, nen, dim)
+    val = jnp.einsum("bqn,bnd->bqd", pb.shape[0], ce)
+    grad = jnp.einsum("bqni,bnd->bqdi", pb.shape[1], ce)
+    hess = jnp.einsum("bqnij,bnd->bqdij", pb.shape[2], ce)
+    np.testing.assert_allclose(np.asarray(val), np.asarray(pb.x), atol=1e-10)
+    eye = np.eye(dim)
+    np.testing.assert_allclose(
+        np.asarray(grad), np.broadcast_to(eye, grad.shape), atol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(hess), 0.0, atol=1e-7)
