@@ -63,6 +63,7 @@ def _points_of(pb: PointBlock, q: int = None):
         shape1=pb.shape[1] if order >= 1 else None,
         shape2=pb.shape[2] if order >= 2 else None,
         shape3=pb.shape[3] if order >= 3 else None,
+        shape4=pb.shape[4] if order >= 4 else None,
         normal=pb.normal,
         gmap1=pb.gmap1,
         gmap2=pb.gmap2,

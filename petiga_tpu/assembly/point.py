@@ -27,6 +27,7 @@ class Point(NamedTuple):
     shape1: Optional[jnp.ndarray] = None  # (nen, nsd)
     shape2: Optional[jnp.ndarray] = None  # (nen, nsd, nsd)
     shape3: Optional[jnp.ndarray] = None  # (nen, nsd, nsd, nsd)
+    shape4: Optional[jnp.ndarray] = None  # (nen, nsd, nsd, nsd, nsd)
     normal: Optional[jnp.ndarray] = None  # (nsd,)
     gmap1: Optional[jnp.ndarray] = None  # (nsd, dim) surface tangents
     gmap2: Optional[jnp.ndarray] = None  # (nsd, dim, dim) curvatures
@@ -64,3 +65,9 @@ class Point(NamedTuple):
     def der3(self, Ue) -> jnp.ndarray:
         """3rd derivatives: (dof, nsd, nsd, nsd)"""
         return jnp.einsum("nijk,nd->dijk", self.shape3, Ue)
+
+    def der4(self, Ue) -> jnp.ndarray:
+        """4th derivatives: (dof, nsd, nsd, nsd, nsd) (IGA_GetDer4,
+        petigaval.F90:271-287; parametric-domain only, like the
+        reference's unimplemented order-4 pushforward)."""
+        return jnp.einsum("nijkl,nd->dijkl", self.shape4, Ue)

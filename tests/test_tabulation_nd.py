@@ -245,3 +245,20 @@ def test_mapped_identity_derivatives(dim):
         np.asarray(grad), np.broadcast_to(eye, grad.shape), atol=1e-8
     )
     np.testing.assert_allclose(np.asarray(hess), 0.0, atol=1e-7)
+
+
+def test_der4_parametric():
+    """Point.der4 (IGA_GetDer4, petigaval.F90:271-287): L2-project x^4
+    onto degree-4 splines (exact) and check the 4th derivative is 24."""
+    from petiga_tpu.models.projection import l2_project
+    from petiga_tpu.assembly.assemble import compute_scalar
+
+    sp = make_space(1, p=4, nel=4)
+    U = l2_project(sp, lambda x: jnp.atleast_1d(x[0] ** 4))
+
+    def fn(pt, Ue, ctx):
+        d4 = pt.der4(Ue)  # (dof, 1, 1, 1, 1)
+        return ((d4[0, 0, 0, 0, 0] - 24.0) ** 2)[None]
+
+    err = compute_scalar(sp, fn, U, order=4)
+    np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-14)
