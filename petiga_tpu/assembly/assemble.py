@@ -642,11 +642,11 @@ def _probe_functional(space, functional, Uv, ctx, order):
 
 def compute_error_norm(space, U, exact, k: int = 0, ctx=None, *, order=None,
                        chunk=None):
-    """L2 (k=0) or H^k-seminorm (k=1,2) of u - u_exact
-    (IGAComputeErrorNorm, petigacomp.c:102-186).
+    """L2 (k=0) or H^k-seminorm (k=1..4) of u - u_exact
+    (IGAComputeErrorNorm, petigacomp.c:102-186; derivative orders follow
+    IGAPointEvaluate, petigaval.F90:183-287).
 
-    ``exact(x) -> (dof,)`` for k=0; ``-> (dof, nsd)`` for k=1 (gradient);
-    ``-> (dof, nsd, nsd)`` for k=2.
+    ``exact(x) -> (dof,) + (nsd,)*k`` — value / gradient / Hessian / ...
     """
     def err2(pt, Ue, _):
         if k == 0:
@@ -655,8 +655,12 @@ def compute_error_norm(space, U, exact, k: int = 0, ctx=None, *, order=None,
             e = pt.grad(Ue) - exact(pt.x)
         elif k == 2:
             e = pt.hess(Ue) - exact(pt.x)
+        elif k == 3:
+            e = pt.der3(Ue) - exact(pt.x)
+        elif k == 4:
+            e = pt.der4(Ue) - exact(pt.x)
         else:
-            raise ValueError("k must be 0, 1, or 2")
+            raise ValueError("k must be in 0..4")
         return jnp.sum(e * e)
 
     val = compute_scalar(

@@ -50,7 +50,7 @@ from ..assembly.tabulation import tabulate_elements
 from ..sparse.stencil import stencil_apply
 from .partition import block_ranges, factor_grid
 
-__all__ = ["DistSpace"]
+__all__ = ["DistSpace", "DistThetaStepper", "DistAlphaStepper"]
 
 
 def _axis_names(dim):
@@ -502,27 +502,37 @@ class DistSpace:
         return shard(*args)
 
     def newton(self, function, U0, ctx=None, *, rtol=1e-8, maxit=20,
-               linear_rtol=1e-8, order=None):
+               linear_rtol=1e-8, order=None, aux=None):
         """Distributed Newton-Krylov (SNES analog over the device mesh).
-        U0: flat (nnodes, dof) or padded sharded grid."""
+        U0: flat (nnodes, dof) or padded sharded grid.  ``aux``: dict of
+        flat (nnodes, c) state vectors (the IFunction multi-state
+        mechanism); with aux the form signature is
+        ``function(pt, Xe, aux_e, ctx)``."""
         sp = self.space
         dof = sp.dof
         if U0.ndim == 2 and U0.shape[0] == sp.nnodes:
             U0 = self.pad_grid(U0)
+        if aux is not None:
+            aux = {
+                k: (v if v.ndim == sp.dim + 1
+                    else self.pad_grid(jnp.asarray(v).reshape(sp.nnodes, -1)))
+                for k, v in aux.items()
+            }
 
         def fnorm(F):
             return jnp.sqrt(jnp.sum(F * F))
 
         U = U0
-        F = self.assemble_function(function, U, ctx, order=order)
+        F = self.assemble_function(function, U, ctx, aux=aux, order=order)
         f0 = float(fnorm(F))
         tol = max(rtol * f0, 1e-30)
         k = 0
         while float(fnorm(F)) > tol and k < maxit:
-            data = self.assemble_jacobian(function, U, ctx, order=order)
+            data = self.assemble_jacobian(function, U, ctx, aux=aux,
+                                          order=order)
             dx, it, res = self.cg(data, F, rtol=linear_rtol)
             U = U - dx
-            F = self.assemble_function(function, U, ctx, order=order)
+            F = self.assemble_function(function, U, ctx, aux=aux, order=order)
             k += 1
         return self.crop_flat(U), {"iters": k, "fnorm": float(fnorm(F))}
 
@@ -616,3 +626,67 @@ class DistSpace:
         data, b = self.assemble_system(system, ctx, order=order)
         x, k, res = self.cg(data, b, rtol=rtol, maxiter=maxiter)
         return self.crop_flat(x), {"iters": int(k), "residual": float(res)}
+
+
+class DistThetaStepper:
+    """Distributed θ-method (TSTHETA under domain decomposition): the
+    stage residual of solve/ts.ThetaStepper driven by DistSpace.newton —
+    IGAComputeIFunction's MPI loop (petigats.c:23-90) becomes per-device
+    element residuals with halo folds."""
+
+    def __init__(self, ds: DistSpace, ifunction: Callable, theta=0.5,
+                 ctx=None, newton_kw=None):
+        self.ds, self.ifn, self.theta = ds, ifunction, theta
+        self.ctx = ctx
+        self.newton_kw = newton_kw or {}
+
+    def step(self, U, t, dt):
+        ds, th, ifn = self.ds, self.theta, self.ifn
+
+        def form(pt, Xe, aux_e, c):
+            U0e = aux_e["U0"]
+            Ue = U0e + th * (Xe - U0e)
+            Ve = (Xe - U0e) / dt
+            return ifn(pt, th / dt, Ve, t + th * dt, Ue, c)
+
+        U = jnp.asarray(U).reshape(ds.space.nnodes, ds.space.dof)
+        U1, info = ds.newton(form, U, self.ctx, aux={"U0": U},
+                             **self.newton_kw)
+        return U1, info
+
+
+class DistAlphaStepper:
+    """Distributed generalized-α for first-order systems (TSALPHA over
+    the device mesh; the reference runs CahnHilliard this way under MPI).
+    Same stage algebra as solve/ts.AlphaStepper; the Newton solve, halo
+    exchanges, and reductions run distributed."""
+
+    def __init__(self, ds: DistSpace, ifunction: Callable, rho_inf=0.5,
+                 ctx=None, newton_kw=None):
+        self.ds, self.ifn = ds, ifunction
+        r = rho_inf
+        self.am = 0.5 * (3 - r) / (1 + r)
+        self.af = 1.0 / (1 + r)
+        self.g = 0.5 + self.am - self.af
+        self.ctx = ctx
+        self.newton_kw = newton_kw or {}
+
+    def step(self, U, V, t, dt):
+        ds, ifn = self.ds, self.ifn
+        am, af, g = self.am, self.af, self.g
+
+        def form(pt, Xe, aux_e, c):
+            U0e, V0e = aux_e["U0"], aux_e["V0"]
+            V1e = (Xe - U0e) / (g * dt) + (1 - 1 / g) * V0e
+            Uaf = U0e + af * (Xe - U0e)
+            Vam = V0e + am * (V1e - V0e)
+            shift = am * af / (g * dt)
+            return ifn(pt, shift, Vam, t + af * dt, Uaf, c)
+
+        sp = ds.space
+        U = jnp.asarray(U).reshape(sp.nnodes, sp.dof)
+        V = jnp.asarray(V).reshape(sp.nnodes, sp.dof)
+        U1, info = ds.newton(form, U, self.ctx, aux={"U0": U, "V0": V},
+                             **self.newton_kw)
+        V1 = (U1 - U) / (g * dt) + (1 - 1 / g) * V
+        return U1, V1, info

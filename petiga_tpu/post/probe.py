@@ -93,7 +93,7 @@ class Probe:
     def _contract(self, Sk, emap, extra_axes):
         Ue = self.U[emap]  # (npts, nen, dof)
         eq = {0: "pqn,pnd->pd", 1: "pqni,pnd->pdi", 2: "pqnij,pnd->pdij",
-              3: "pqnijk,pnd->pdijk"}[extra_axes]
+              3: "pqnijk,pnd->pdijk", 4: "pqnijkl,pnd->pdijkl"}[extra_axes]
         return jnp.einsum(eq, Sk, Ue)
 
     # ------------------------------------------------------------------ API
@@ -110,6 +110,16 @@ class Probe:
     def hess(self, u):
         S, emap, _ = self._tabulate(u)
         return self._contract(S[2], emap, 2)
+
+    def der3(self, u):
+        """(npts, dof, nsd, nsd, nsd) third derivatives (needs order>=3)."""
+        S, emap, _ = self._tabulate(u)
+        return self._contract(S[3], emap, 3)
+
+    def der4(self, u):
+        """(npts, dof, nsd⁴) fourth derivatives (needs order=4)."""
+        S, emap, _ = self._tabulate(u)
+        return self._contract(S[4], emap, 4)
 
     def geometry(self, u):
         """(npts, nsd) mapped physical coordinates."""

@@ -130,3 +130,49 @@ def test_distributed_function_matches_serial():
     np.testing.assert_allclose(
         np.asarray(ds.crop_flat(F)), np.asarray(F_ref), atol=1e-12
     )
+
+
+def test_distributed_alpha_matches_serial():
+    """Distributed generalized-α step equals the serial AlphaStepper
+    (transient partition invariance — the TS analog of IGACreate.c)."""
+    from petiga_tpu.models.bratu import bratu_ifunction, make_space
+    from petiga_tpu.parallel.dist import DistAlphaStepper
+    from petiga_tpu.solve.ts import AlphaStepper
+
+    ctx = {"lambda": 1.0}
+    sp_s = make_space(2, p=2, nel=7, dtype=F64)
+    ser = AlphaStepper(sp_s, bratu_ifunction, rho_inf=0.5, ctx=ctx,
+                       newton_kw={"rtol": 1e-12})
+    U0 = jnp.zeros((sp_s.nnodes, 1), F64)
+    V0 = ser.initial_velocity(U0, 0.0)
+    U1s, V1s, _ = ser.step(U0, V0, 0.0, 1e-2)
+    U2s, V2s, _ = ser.step(U1s, V1s, 1e-2, 1e-2)
+
+    sp = make_space(2, p=2, nel=7, dtype=F64)
+    ds = DistSpace(sp, devices=jax.devices()[:4], pgrid=(2, 2))
+    dst = DistAlphaStepper(ds, bratu_ifunction, rho_inf=0.5, ctx=ctx,
+                           newton_kw={"rtol": 1e-12, "linear_rtol": 1e-12})
+    U1, V1, info = dst.step(U0, np.asarray(V0), 0.0, 1e-2)
+    U2, V2, _ = dst.step(U1, V1, 1e-2, 1e-2)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U2s), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(V2), np.asarray(V2s), atol=1e-6)
+
+
+def test_distributed_theta_matches_serial():
+    from petiga_tpu.models.bratu import bratu_ifunction, make_space
+    from petiga_tpu.parallel.dist import DistThetaStepper
+    from petiga_tpu.solve.ts import ThetaStepper
+
+    ctx = {"lambda": 1.0}
+    sp_s = make_space(2, p=2, nel=6, dtype=F64)
+    ser = ThetaStepper(sp_s, bratu_ifunction, theta=0.5, ctx=ctx,
+                       newton_kw={"rtol": 1e-12})
+    U0 = jnp.zeros((sp_s.nnodes, 1), F64)
+    U1s, _ = ser.step(U0, 0.0, 5e-3)
+
+    sp = make_space(2, p=2, nel=6, dtype=F64)
+    ds = DistSpace(sp, devices=jax.devices()[:8], pgrid=(4, 2))
+    dst = DistThetaStepper(ds, bratu_ifunction, theta=0.5, ctx=ctx,
+                           newton_kw={"rtol": 1e-12, "linear_rtol": 1e-12})
+    U1, info = dst.step(U0, 0.0, 5e-3)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U1s), atol=1e-8)

@@ -96,6 +96,36 @@ def test_probe_matches_error_norm():
     )
 
 
+def test_probe_high_derivatives():
+    """der3/der4 of a quartic spline reproduce the exact polynomial
+    derivatives (IGAProbe + IGAPointFormDer3/Der4 analog)."""
+    sp = Space([Axis.uniform(p=4, nel=3)], order=4, dtype=F64)
+    # u(x) = x^4 via Greville-symbol coefficients: interpolate with an
+    # L2 projection instead (exact for p=4).
+    from petiga_tpu.models.projection import l2_project
+
+    U = l2_project(sp, lambda x: (x[0] ** 4)[None])
+    pr = Probe(sp, U, order=4)
+    pts = np.array([[0.3], [0.7]])
+    d3 = np.asarray(pr.der3(pts))[:, 0, 0, 0, 0]
+    d4 = np.asarray(pr.der4(pts))[:, 0, 0, 0, 0, 0]
+    np.testing.assert_allclose(d3, 24.0 * pts[:, 0], rtol=1e-9)
+    np.testing.assert_allclose(d4, 24.0, rtol=1e-9)
+
+
+def test_error_norm_high_k():
+    """H^3 seminorm of the projection error of x^4 (k=3 path)."""
+    from petiga_tpu.assembly.assemble import compute_error_norm
+    from petiga_tpu.models.projection import l2_project
+
+    sp = Space([Axis.uniform(p=4, nel=3)], order=4, dtype=F64)
+    U = l2_project(sp, lambda x: (x[0] ** 4)[None])
+    e3 = compute_error_norm(
+        sp, U, lambda x: (24.0 * x[0])[None, None, None, None], k=3
+    )
+    assert float(e3) < 1e-9
+
+
 def test_probe_periodic_wrap():
     sp = Space([Axis.uniform(p=2, nel=8, periodic=True)], dtype=F64)
     rng = np.random.default_rng(1)

@@ -46,3 +46,17 @@ def test_pallas_spmv_dof2_fallback():
     y_ref = A.matvec(x)
     y = pallas_matvec(A, x, interpret=True)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+
+
+def test_pallas_spmv_multichunk():
+    """nnodes > ROWS*LANES exercises the grid streaming + guard rows."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space([Axis.uniform(p=2, nel=24) for _ in range(3)], dtype=F64)
+    A, _ = assemble_system(sp, mass, apply_fix=False)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    op = PallasStencilOperator(A, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
