@@ -23,7 +23,7 @@ User forms (matching petiga.h:166-197 typedefs):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,8 @@ __all__ = [
     "Alpha2Stepper",
     "ExplicitStepper",
     "integrate",
+    "integrate_adaptive",
+    "AdaptResult",
 ]
 
 
@@ -297,3 +299,85 @@ def integrate(
     if isinstance(stepper, AlphaStepper):
         return U, V
     return U
+
+
+class AdaptResult(NamedTuple):
+    t: float
+    steps: int
+    rejections: int
+    dt_final: float
+
+
+def integrate_adaptive(
+    stepper,
+    U0,
+    t0: float,
+    dt0: float,
+    t_end: float,
+    *,
+    V0=None,
+    rtol: float = 1e-2,
+    atol: float = 1e-2,
+    safety: float = 0.9,
+    clip: tuple = (0.1, 10.0),
+    dt_min: float = 1e-12,
+    max_steps: int = 100000,
+    monitor: Optional[Callable] = None,
+):
+    """Error-controlled generalized-α stepping — the analog of the
+    reference's ``TSAlphaUseAdapt`` + PETSc ``TSADAPTBASIC``
+    (src/petscts.c:11-22; enabled by the CahnHilliard demos with
+    ``-ts_adapt_type basic``).
+
+    The local-error estimate is the embedded backward-Euler comparison
+    PETSc's TSAlpha uses for its WLTE: the α solution U1 is 2nd-order,
+    ``U_BE = U0 + dt·V1`` is 1st-order, and their difference is measured
+    in the weighted-RMS norm with weights ``atol + rtol·max(|U0|,|U1|)``.
+    The basic controller accepts when wlte < 1 and proposes
+    ``dt·clip(safety·wlte^(-1/(order+1)))`` with order = 2.
+
+    dt is a traced argument of the cached step function, so the whole
+    adaptive run still compiles exactly one XLA program per phase.
+    Returns ``(U, V, AdaptResult)``.
+    """
+    if not isinstance(stepper, AlphaStepper):
+        raise TypeError("integrate_adaptive requires an AlphaStepper "
+                        "(the reference hook targets TSALPHA only)")
+
+    # Fixed (Dirichlet) dofs are algebraic, not evolved: the first-step
+    # BC-enforcement jump would otherwise put a dt-independent floor
+    # under the estimate, so they are excluded from the norm.
+    mask, _ = stepper.space.dirichlet_mask()
+    free = jnp.asarray(~mask)
+    nfree = max(int(free.sum()), 1)
+
+    @jax.jit
+    def wlte_fn(Uold, Unew, Vnew, dt):
+        U_be = Uold + dt * Vnew
+        w = atol + rtol * jnp.maximum(jnp.abs(Uold), jnp.abs(Unew))
+        d = jnp.where(free, (Unew - U_be) / w, 0.0)
+        return jnp.sqrt(jnp.sum(d * d) / nfree)
+
+    U, V = U0, V0
+    if V is None:
+        V = stepper.initial_velocity(U0, t0)
+    t, dt = float(t0), float(dt0)
+    steps = rejections = 0
+    lo, hi = clip
+    while t < t_end - 1e-14 * max(1.0, abs(t_end)) and steps < max_steps:
+        dt_try = min(dt, t_end - t)
+        U1, V1, info = stepper.step(U, V, t, dt_try)
+        err = float(wlte_fn(U, U1, V1, jnp.asarray(dt_try)))
+        fac = safety * err ** (-1.0 / 3.0) if err > 0 else hi
+        dt = dt_try * min(max(fac, lo), hi)
+        if err < 1.0:
+            U, V = U1, V1
+            t += dt_try
+            steps += 1
+            if monitor is not None:
+                monitor(steps, t, U)
+        else:
+            rejections += 1
+            if dt < dt_min:
+                raise RuntimeError(f"adaptive dt underflow at t={t}")
+    return U, V, AdaptResult(t, steps, rejections, dt)

@@ -16,6 +16,7 @@ from petiga_tpu.solve.ts import (
     ExplicitStepper,
     ThetaStepper,
     integrate,
+    integrate_adaptive,
 )
 
 F64 = jnp.float64
@@ -119,6 +120,30 @@ def test_alpha2_wave():
         e.append(float(compute_error_norm(sp, U, exact, k=0)))
     rate = np.log2(e[0] / e[1])
     assert rate > 1.7, (rate, e)
+
+
+def test_alpha_adaptive_basic():
+    """TSAlphaUseAdapt analog: starting from a too-small dt the basic
+    controller must grow the step, reach t_end exactly, and stay
+    accurate; starting too large it must reject and recover."""
+    sp = make_heat_space(nel=16, p=2)
+    U0 = project_initial(sp, lambda x: jnp.sin(jnp.pi * x[0]))
+    T = 0.1
+    st = AlphaStepper(sp, heat_ifunction, rho_inf=0.5,
+                      newton_kw=dict(rtol=1e-12))
+
+    U, V, stats = integrate_adaptive(st, U0, 0.0, 1e-4, T,
+                                     rtol=1e-4, atol=1e-4)
+    assert abs(stats.t - T) < 1e-12
+    assert stats.dt_final > 5e-4, stats  # controller grew the step
+    assert heat_exact_error(sp, U, T) < 2e-3, stats
+
+    # oversized initial step: must reject at least once yet converge
+    U2, _, stats2 = integrate_adaptive(st, U0, 0.0, 0.2, T,
+                                       rtol=1e-5, atol=1e-5)
+    assert stats2.rejections >= 1, stats2
+    assert abs(stats2.t - T) < 1e-12
+    assert heat_exact_error(sp, U2, T) < 2e-3, stats2
 
 
 def test_explicit_rk3_heat():
