@@ -70,7 +70,11 @@ class Options:
 
     def build_space(self) -> Space:
         """Construct and freeze (IGASetUp staging)."""
+        import jax
         import jax.numpy as jnp
+
+        if self.dtype == "float64" and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
 
         if self.load is not None:
             from .io.checkpoint import read_space
