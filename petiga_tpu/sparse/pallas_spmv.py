@@ -42,7 +42,17 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["pallas_matvec", "supported", "PallasStencilOperator"]
 
 LANES = 128
-ROWS = 128  # chunk rows per grid step: DT block = K·ROWS·128·4 B
+
+
+def _rows_for(K: int, itemsize: int = 4) -> int:
+    """Rows per grid step such that the double-buffered DT block
+    (2·K·ROWS·128·itemsize) stays within ~10 MB of the 16 MB scoped
+    VMEM budget (the rest holds xb + the output block)."""
+    budget = 10 * 2**20
+    r = 128
+    while r > 8 and 2 * K * r * LANES * itemsize > budget:
+        r //= 2
+    return r
 
 
 def supported(stencil) -> bool:
@@ -64,13 +74,14 @@ def _flat_shifts(stencil) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shifts", "nnodes", "guard", "interpret"),
+    static_argnames=("shifts", "nnodes", "guard", "rows", "interpret"),
 )
-def _flat_spmv(DT, xb, *, shifts, nnodes, guard, interpret=False):
+def _flat_spmv(DT, xb, *, shifts, nnodes, guard, rows, interpret=False):
     """DT: (K, Mp, 128) slot-major planes; xb: (G+Mp+G, 128) packed x.
     Returns y: (Mp, 128)."""
     K, Mp, _ = DT.shape
     G = guard
+    ROWS = rows
     nchunks = Mp // ROWS
     dtype = xb.dtype
 
@@ -127,8 +138,10 @@ class PallasStencilOperator:
         if not self.ok:
             return
         n, K = st.nnodes, st.K
+        itemsize = jnp.dtype(A.data.dtype).itemsize
+        self.rows = _rows_for(K, itemsize)
         M = math.ceil(n / LANES)
-        Mp = math.ceil(M / ROWS) * ROWS
+        Mp = math.ceil(M / self.rows) * self.rows
         c = _flat_shifts(st)
         G = int(np.max(np.abs(c))) // LANES + 2
         self.nnodes, self.M, self.Mp, self.G = n, M, Mp, G
@@ -152,6 +165,7 @@ class PallasStencilOperator:
             shifts=self.shifts,
             nnodes=self.nnodes,
             guard=self.G,
+            rows=self.rows,
             interpret=self.interpret,
         )
         y = y.reshape(-1)[: self.nnodes]
