@@ -84,7 +84,9 @@ poisson_system_q.qbatched = True
 
 
 def make_space(dim, p=2, nel=8, continuity=None, dtype=jnp.float32, **kw) -> Space:
-    axes = [Axis.uniform(p=p, nel=nel, continuity=continuity) for _ in range(dim)]
+    """``nel`` may be a scalar or a per-axis sequence."""
+    nels = list(nel) if isinstance(nel, (tuple, list)) else [nel] * dim
+    axes = [Axis.uniform(p=p, nel=n, continuity=continuity) for n in nels]
     sp = Space(axes, dof=1, dtype=dtype, **kw)
     for d in range(dim):
         for s in range(2):

@@ -19,9 +19,15 @@ full-(R,128)-tile VPU ops at 100% lane utilization.  The matrix planes
 stream through VMEM exactly once; x stays VMEM-resident (~1.3 MB for
 64³ p=2).  HBM traffic ≈ nnz·4 B — the roofline minimum.
 
-Periodic axes (wrap columns are not constant flat shifts) and dof>1
-fall back to the XLA path; the distributed layer handles periodicity by
-halo exchange before the local kernel sees the data.
+dof > 1 (the BSR/BAIJ analog) uses the same kernel with per-field
+vector planes: x is deinterleaved into ``dof`` flat planes, the matrix
+into ``K·dof·dof`` slot-major planes, and each output field accumulates
+``sum_{s,b} DT[s,a,b] * shift(x_b, c_s)`` — still one streaming pass
+over the matrix at ~nnz·itemsize HBM traffic.
+
+Periodic axes (wrap columns are not constant flat shifts) fall back to
+the XLA path; the distributed layer handles periodicity by halo
+exchange before the local kernel sees the data.
 
 Use :class:`PallasStencilOperator` to pre-pack the layout once per
 operator (e.g. around a whole CG solve), or ``pallas_matvec(A, x)`` for
@@ -44,21 +50,26 @@ __all__ = ["pallas_matvec", "supported", "PallasStencilOperator"]
 LANES = 128
 
 
-def _rows_for(K: int, itemsize: int = 4) -> int:
+def _rows_for(planes: int, itemsize: int = 4):
     """Rows per grid step such that the double-buffered DT block
-    (2·K·ROWS·128·itemsize) stays within ~10 MB of the 16 MB scoped
-    VMEM budget (the rest holds xb + the output block)."""
+    (2·planes·ROWS·128·itemsize) stays within ~10 MB of the 16 MB scoped
+    VMEM budget (the rest holds xb + the output block).  Returns None
+    when even 8 rows do not fit (very large K·dof²)."""
     budget = 10 * 2**20
     r = 128
-    while r > 8 and 2 * K * r * LANES * itemsize > budget:
+    while r > 8 and 2 * planes * r * LANES * itemsize > budget:
         r //= 2
+    if 2 * planes * r * LANES * itemsize > budget:
+        return None
     return r
 
 
-def supported(stencil) -> bool:
-    """Open axes, scalar dof (any dim).  dof > 1 would need per-field
-    deinterleaving; periodic wrap is not a constant flat shift."""
-    return stencil.dof == 1 and not any(stencil.periodic)
+def supported(stencil, itemsize: int = 4) -> bool:
+    """Open axes, any dim, any dof whose K·dof² matrix planes fit the
+    VMEM streaming budget; periodic wrap is not a constant flat shift."""
+    if any(stencil.periodic):
+        return False
+    return _rows_for(stencil.K * stencil.dof**2, itemsize) is not None
 
 
 def _flat_shifts(stencil) -> np.ndarray:
@@ -74,49 +85,54 @@ def _flat_shifts(stencil) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shifts", "nnodes", "guard", "rows", "interpret"),
+    static_argnames=("shifts", "dof", "guard", "rows", "interpret"),
 )
-def _flat_spmv(DT, xb, *, shifts, nnodes, guard, rows, interpret=False):
-    """DT: (K, Mp, 128) slot-major planes; xb: (G+Mp+G, 128) packed x.
-    Returns y: (Mp, 128)."""
-    K, Mp, _ = DT.shape
+def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
+    """DT: (K·dof·dof, Mp, 128) slot-major matrix planes (plane index
+    ``(s·dof + a)·dof + b``); xb: (dof, G+Mp+G, 128) per-field packed x.
+    Returns y: (dof, Mp, 128)."""
+    Mp = DT.shape[1]
     G = guard
     ROWS = rows
     nchunks = Mp // ROWS
     dtype = xb.dtype
+    K = len(shifts)
 
     def kernel(dt_ref, x_ref, y_ref):
         i = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        acc = jnp.zeros((ROWS, LANES), dtype)
+        acc = [jnp.zeros((ROWS, LANES), dtype) for _ in range(dof)]
         for s, c in enumerate(shifts):
             q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
             base = i * ROWS + G + q
-            A = x_ref[pl.ds(base, ROWS), :]
-            if m == 0:
-                xs = A
-            else:
-                B = x_ref[pl.ds(base + 1, ROWS), :]
-                ra = pltpu.roll(A, LANES - m, 1)
-                rb = pltpu.roll(B, LANES - m, 1)
-                xs = jnp.where(lane < LANES - m, ra, rb)
-            acc = acc + dt_ref[s] * xs
-        y_ref[:, :] = acc
+            for b in range(dof):
+                A = x_ref[b, pl.ds(base, ROWS), :]
+                if m == 0:
+                    xs = A
+                else:
+                    B = x_ref[b, pl.ds(base + 1, ROWS), :]
+                    ra = pltpu.roll(A, LANES - m, 1)
+                    rb = pltpu.roll(B, LANES - m, 1)
+                    xs = jnp.where(lane < LANES - m, ra, rb)
+                for a in range(dof):
+                    acc[a] = acc[a] + dt_ref[(s * dof + a) * dof + b] * xs
+        for a in range(dof):
+            y_ref[a, :, :] = acc[a]
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((dof, Mp, LANES), dtype),
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec(
-                (K, ROWS, LANES),
+                (K * dof * dof, ROWS, LANES),
                 lambda i: (0, i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (dof, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(DT, xb)
@@ -134,42 +150,45 @@ class PallasStencilOperator:
         self.A = A
         self.st = st = A.stencil
         self.interpret = interpret
-        self.ok = supported(st)
+        itemsize = jnp.dtype(A.data.dtype).itemsize
+        self.ok = supported(st, itemsize)
         if not self.ok:
             return
-        n, K = st.nnodes, st.K
-        itemsize = jnp.dtype(A.data.dtype).itemsize
-        self.rows = _rows_for(K, itemsize)
+        n, K, dof = st.nnodes, st.K, st.dof
+        self.rows = _rows_for(K * dof * dof, itemsize)
         M = math.ceil(n / LANES)
         Mp = math.ceil(M / self.rows) * self.rows
         c = _flat_shifts(st)
         G = int(np.max(np.abs(c))) // LANES + 2
         self.nnodes, self.M, self.Mp, self.G = n, M, Mp, G
+        self.dof = dof
         self.shifts = tuple(int(v) for v in c)
-        data = A.data.reshape(n, K)
-        DT = jnp.swapaxes(data, 0, 1)  # (K, n)
+        # plane (s·dof + a)·dof + b <- data[n, s, a, b]
+        DT = A.data.transpose(1, 2, 3, 0).reshape(K * dof * dof, n)
         DT = jnp.pad(DT, ((0, 0), (0, Mp * LANES - n)))
-        self.DT = DT.reshape(K, Mp, LANES)
+        self.DT = DT.reshape(K * dof * dof, Mp, LANES)
 
     def matvec(self, x):
         if not self.ok:
             return self.A.matvec(x)
         flat_in = x.ndim == 1
-        xv = x.reshape(-1)
+        xT = x.reshape(self.nnodes, self.dof).T  # (dof, n)
         pad_lo = self.G * LANES
         pad_hi = (self.G + self.Mp) * LANES - self.nnodes
-        xb = jnp.pad(xv, (pad_lo, pad_hi)).reshape(-1, LANES)
+        xb = jnp.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(
+            self.dof, -1, LANES
+        )
         y = _flat_spmv(
             self.DT,
             xb,
             shifts=self.shifts,
-            nnodes=self.nnodes,
+            dof=self.dof,
             guard=self.G,
             rows=self.rows,
             interpret=self.interpret,
         )
-        y = y.reshape(-1)[: self.nnodes]
-        return y if flat_in else y.reshape(self.nnodes, 1)
+        y = y.reshape(self.dof, -1)[:, : self.nnodes].T  # (n, dof)
+        return y.reshape(-1) if flat_in else y
 
     def __matmul__(self, x):
         return self.matvec(x)

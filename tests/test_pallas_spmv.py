@@ -30,22 +30,55 @@ def test_pallas_spmv_matches_xla(periodic):
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
 
 
-def test_pallas_spmv_dof2_fallback():
-    sp = Space([Axis.uniform(p=1, nel=5) for _ in range(3)], dof=2, dtype=F64)
-
+def _block_form(dof):
     def form(pt, ctx):
-        K = jnp.outer(pt.shape0, pt.shape0)
-        Kd = jnp.zeros((pt.nen, 2, pt.nen, 2), F64)
-        Kd = Kd.at[:, 0, :, 0].set(2 * K).at[:, 1, :, 1].set(K)
-        Kd = Kd.at[:, 0, :, 1].set(0.3 * K).at[:, 1, :, 0].set(0.3 * K)
-        return Kd, jnp.zeros((pt.nen, 2), F64)
+        K = jnp.outer(pt.shape0, pt.shape0) + pt.shape1 @ pt.shape1.T
+        # nonsymmetric inter-field coupling to catch (a, b) plane swaps
+        C = jnp.asarray(
+            [[2.0 + a + 0.3 * b for b in range(dof)] for a in range(dof)], F64
+        )
+        Kd = jnp.einsum("ij,ab->iajb", K, C)
+        return Kd, jnp.zeros((pt.nen, dof), F64)
 
-    A, _ = assemble_system(sp, form, apply_fix=False)
+    return form
+
+
+@pytest.mark.parametrize("dof", [2, 3])
+def test_pallas_spmv_block_dof(dof):
+    """dof > 1 BSR path through the kernel itself (per-field planes)."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space([Axis.uniform(p=1, nel=5) for _ in range(3)], dof=dof, dtype=F64)
+    A, _ = assemble_system(sp, _block_form(dof), apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True)
+    assert op.ok, "block path should be supported, not a fallback"
     rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(sp.nnodes, 2)))
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, dof)))
     y_ref = A.matvec(x)
-    y = pallas_matvec(A, x, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(y_ref), atol=1e-12
+    )
+    # flat-vector calling convention round-trips too
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x.reshape(-1))),
+        np.asarray(y_ref).reshape(-1),
+        atol=1e-12,
+    )
+
+
+def test_pallas_spmv_oversize_dof_falls_back():
+    """K·dof² beyond the VMEM streaming budget falls back to XLA."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space([Axis.uniform(p=2, nel=4) for _ in range(3)], dof=5, dtype=F64)
+    A, _ = assemble_system(sp, _block_form(5), apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True)
+    assert not op.ok  # 125 * 25 planes * f64 exceeds the budget
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 5)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
 
 
 def test_pallas_spmv_multichunk():
