@@ -59,3 +59,19 @@ def test_example_cahnhilliard(tmp_path):
         ["--nel", "8", "--nsteps", "1", "--vtk", str(vts)],
     ) == 0
     assert vts.exists() and vts.stat().st_size > 0
+
+
+def test_example_elasticity():
+    assert _run_example(
+        "elasticity",
+        ["--dim", "2", "-p", "2", "-N", "8", "--dtype", "float64",
+         "--check-error", "1e-3"],
+    ) == 0
+
+
+def test_example_hyperelasticity():
+    assert _run_example(
+        "hyperelasticity",
+        ["--dim", "2", "-p", "2", "-N", "4", "--dtype", "float64",
+         "--material", "neo_hookean", "--stretch", "0.1"],
+    ) == 0
