@@ -98,26 +98,45 @@ def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
     dtype = xb.dtype
     K = len(shifts)
 
+    NACC = 4  # independent accumulators to break the FMA latency chain
+
     def kernel(dt_ref, x_ref, y_ref):
         i = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        acc = [jnp.zeros((ROWS, LANES), dtype) for _ in range(dof)]
+        acc = [
+            [jnp.zeros((ROWS, LANES), dtype) for _ in range(NACC)]
+            for _ in range(dof)
+        ]
+        loads = {}  # (b, q) -> window; slots sharing a sublane base reuse it
+        masks = {}  # m -> lane mask
+
+        def window(b, q):
+            key = (b, q)
+            if key not in loads:
+                loads[key] = x_ref[b, pl.ds(i * ROWS + G + q, ROWS), :]
+            return loads[key]
+
         for s, c in enumerate(shifts):
             q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
-            base = i * ROWS + G + q
             for b in range(dof):
-                A = x_ref[b, pl.ds(base, ROWS), :]
+                A = window(b, q)
                 if m == 0:
                     xs = A
                 else:
-                    B = x_ref[b, pl.ds(base + 1, ROWS), :]
+                    B = window(b, q + 1)
+                    if m not in masks:
+                        masks[m] = lane < LANES - m
                     ra = pltpu.roll(A, LANES - m, 1)
                     rb = pltpu.roll(B, LANES - m, 1)
-                    xs = jnp.where(lane < LANES - m, ra, rb)
+                    xs = jnp.where(masks[m], ra, rb)
                 for a in range(dof):
-                    acc[a] = acc[a] + dt_ref[(s * dof + a) * dof + b] * xs
+                    j = s % NACC
+                    acc[a][j] = acc[a][j] + dt_ref[(s * dof + a) * dof + b] * xs
         for a in range(dof):
-            y_ref[a, :, :] = acc[a]
+            tot = acc[a][0]
+            for j in range(1, NACC):
+                tot = tot + acc[a][j]
+            y_ref[a, :, :] = tot
 
     return pl.pallas_call(
         kernel,

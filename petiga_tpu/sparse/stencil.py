@@ -202,6 +202,19 @@ class StencilMatrix:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def fast_operator(self):
+        """Return this operator re-packed for the Pallas stencil-SpMV
+        kernel (sparse/pallas_spmv.py) when the layout supports it —
+        open axes, K·dof² planes within the VMEM streaming budget —
+        else ``self``.  The result exposes the same ``matvec`` /
+        ``diagonal`` surface, so it drops into the Krylov solvers and
+        preconditioners unchanged."""
+        from .pallas_spmv import PallasStencilOperator, supported
+
+        if supported(self.stencil, jnp.dtype(self.data.dtype).itemsize):
+            return PallasStencilOperator(self)
+        return self
+
     # ------------------------------------------------------------ structure
 
     def diagonal(self) -> jnp.ndarray:

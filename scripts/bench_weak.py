@@ -22,9 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
-)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +34,8 @@ import jax.numpy as jnp
 from petiga_tpu.models.poisson import make_space, poisson_system
 from petiga_tpu.parallel.dist import DistSpace
 
-PER_DEV_NEL = 16  # elements along the split axis per device
-BASE = 16  # elements along the other axes
+PER_DEV_NEL = 8  # elements along the split axis per device
+BASE = 8  # elements along the other axes
 
 
 def run(n_dev):
@@ -52,7 +54,7 @@ def run(n_dev):
     t_asm = time.time() - t0
 
     def solve():
-        return ds.cg(A, b, rtol=1e-6, maxiter=60)
+        return ds.cg(A, b, rtol=1e-6, maxiter=30)
 
     jax.block_until_ready(solve())
     t0 = time.time()
