@@ -1,13 +1,19 @@
 #!/usr/bin/env python
-"""Benchmark: 3D Poisson p=2 (BASELINE.json reference config) on one chip.
+"""Benchmark: 3D Poisson p=2 on one chip (toward the BASELINE.json
+256^3 v5e-16 target; 128^3 is the largest single-chip size whose
+stencil storage + assembly temporaries fit comfortably in 16 GB HBM —
+see BASELINE.md "memory math").
 
-Measures assembled-operator throughput (nnz/s), stencil SpMV (GF/s and
-nnz/s), and a CG solve, then prints ONE JSON line:
+Measures assembled-operator throughput (nnz/s), stencil SpMV through
+BOTH the XLA slot-loop path and the Pallas flat-layout kernel
+(sparse/pallas_spmv.py), and a Jacobi-CG solve running through the
+Pallas operator.  Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-vs_baseline is relative to 5e7 nnz/s — the order of magnitude of the
-reference's single-core C assembly path (no numbers are published
-in-repo; see BASELINE.md).
+vs_baseline is relative to a *modeled* (not measured) reference rate of
+5e7 nnz/s for PetIGA's single-core MatSetValues assembly path — see
+BASELINE.md for the derivation and its error bars; no measured
+reference numbers exist in-repo.
 """
 
 import json
@@ -22,11 +28,13 @@ import numpy as np
 
 
 def main():
-    from petiga_tpu.models.poisson import make_space, poisson_system, poisson_system_q
+    from petiga_tpu.models.poisson import make_space, poisson_system
     from petiga_tpu.assembly.assemble import assemble_system, stencil_of
     from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
+    from petiga_tpu.sparse.stencil import StencilMatrix
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
 
-    NEL = 64
+    NEL = 128
     P = 2
     CHUNK = 32768
     dtype = jnp.float32
@@ -63,31 +71,36 @@ def main():
     t_asm = min(times)
     nnz_per_s = nnz / t_asm
 
-    from petiga_tpu.sparse.stencil import StencilMatrix
-
     A = StencilMatrix(st, A_data)
+    op = PallasStencilOperator(A)
+    assert op.ok, "Pallas operator must support the bench layout"
 
-    @jax.jit
-    def spmv_loop(x, n=50):
-        def body(i, x):
-            y = A.matvec(x)
-            return y / jnp.sqrt(jnp.vdot(y, y))
-        return jax.lax.fori_loop(0, n, body, x)
+    def time_matvec(mv, n=50):
+        @jax.jit
+        def loop(x):
+            def body(i, x):
+                y = mv(x)
+                return y / jnp.sqrt(jnp.vdot(y, y))
+            return jax.lax.fori_loop(0, n, body, x)
 
-    x = jnp.ones((sp.nnodes, 1), dtype)
-    jax.block_until_ready(spmv_loop(x))
-    t0 = time.time()
-    jax.block_until_ready(spmv_loop(x))
-    t_spmv = (time.time() - t0) / 50
-    spmv_gflops = 2 * nnz / t_spmv / 1e9
-    # HBM roofline: read matrix once (4 B/entry) at ~820 GB/s on v5e
-    spmv_sol = nnz * 4 / 819e9
-    spmv_eff = spmv_sol / t_spmv
+        x = jnp.ones((sp.nnodes, 1), dtype)
+        jax.block_until_ready(loop(x))
+        t0 = time.time()
+        jax.block_until_ready(loop(x))
+        return (time.time() - t0) / n
+
+    t_xla = time_matvec(A.matvec)
+    t_pal = time_matvec(op.matvec)
+    # HBM roofline: read the stencil matrix once.  Stencil storage
+    # streams nnodes*K entries (incl. boundary zero slots); at 128^3 p=2
+    # that is 1.6% above nnz.  ~819 GB/s on v5e.
+    stream_bytes = st.nnodes * st.K * 4
+    sol = stream_bytes / 819e9
 
     @jax.jit
     def solve(b):
         M = jacobi_preconditioner(A)
-        r = cg(A, b, M=M, rtol=1e-6, maxiter=2000)
+        r = cg(op, b, M=M, rtol=1e-6, maxiter=2000)
         return r.x, r.iters, r.residual
 
     jax.block_until_ready(solve(b))
@@ -95,17 +108,22 @@ def main():
     xsol, iters, res = jax.block_until_ready(solve(b))
     t_solve = time.time() - t0
 
-    baseline = 5e7  # nnz/s, reference-class single-core assembly
+    baseline = 5e7  # nnz/s: MODELED reference single-core MatSetValues
+    # assembly rate (BASELINE.md); not a measured number.
     out = {
-        "metric": "poisson3d_p2_64_assembly",
+        "metric": f"poisson3d_p2_{NEL}_assembly",
         "value": round(nnz_per_s / 1e6, 2),
         "unit": "Mnnz/s",
         "vs_baseline": round(nnz_per_s / baseline, 2),
+        "baseline_model": "5e7 nnz/s modeled single-core MatSetValues (BASELINE.md)",
         "mesh": f"{NEL}^3 p{P}",
         "nnz": nnz,
         "assembly_s": round(t_asm, 4),
-        "spmv_gflops": round(spmv_gflops, 2),
-        "spmv_roofline_frac": round(spmv_eff, 3),
+        "spmv_pallas_gflops": round(2 * nnz / t_pal / 1e9, 2),
+        "spmv_pallas_roofline_frac": round(sol / t_pal, 3),
+        "spmv_xla_gflops": round(2 * nnz / t_xla / 1e9, 2),
+        "spmv_xla_roofline_frac": round(sol / t_xla, 3),
+        "spmv_pallas_us": round(t_pal * 1e6, 1),
         "cg_iters": int(iters),
         "cg_residual": float(res),
         "solve_s": round(t_solve, 3),

@@ -274,12 +274,33 @@ def assemble_system(
         A_grid = jnp.zeros(N_rev + (st.K, dof, dof), dt)
         b_grid = jnp.zeros(N_rev + (dof,), dt)
 
-        # static placement per chunk (python loop; z0 must be static so
-        # the adds are static slices XLA updates in place)
-        for c in range(nchunks):
-            Ke, Fe, _ = element_KF(ids[c], valid[c], None, system)
-            A_grid = fastpath.accumulate_matrix(space, A_grid, Ke, c * kz, slot_np)
-            b_grid = fastpath.accumulate_vector(space, b_grid, Fe, c * kz)
+        if not space.periodic[-1] and nchunks > 1:
+            # scan over chunks with dynamic slab starts: one compiled
+            # chunk body — compile time independent of the mesh size
+            def chunk_step(carry, xs):
+                Ag, bg = carry
+                ids_c, valid_c, c = xs
+                Ke, Fe, _ = element_KF(ids_c, valid_c, None, system)
+                Ag = fastpath.accumulate_matrix_dyn(
+                    space, Ag, Ke, c * kz, slot_np
+                )
+                bg = fastpath.accumulate_vector_dyn(space, bg, Fe, c * kz)
+                return (Ag, bg), None
+
+            (A_grid, b_grid), _ = jax.lax.scan(
+                chunk_step,
+                (A_grid, b_grid),
+                (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
+            )
+        else:
+            # static placement per chunk (wrapping slow axis needs the
+            # static two-segment split; z0 static -> in-place slice adds)
+            for c in range(nchunks):
+                Ke, Fe, _ = element_KF(ids[c], valid[c], None, system)
+                A_grid = fastpath.accumulate_matrix(
+                    space, A_grid, Ke, c * kz, slot_np
+                )
+                b_grid = fastpath.accumulate_vector(space, b_grid, Fe, c * kz)
         A_data = A_grid[:crop].reshape(st.nnodes, st.K, dof, dof)
         b = b_grid[:crop].reshape(st.nnodes, dof)
     else:
@@ -567,9 +588,25 @@ def assemble_jacobian(
             N_rev[0] = max(N_rev[0], need)
         N_rev = tuple(N_rev)
         A_grid = jnp.zeros(N_rev + (st.K, dof, dof), dt)
-        for c in range(nchunks):
-            Je, _ = chunk_body(None, (ids[c], valid[c]), jacform=jacobian)
-            A_grid = fastpath.accumulate_matrix(space, A_grid, Je, c * kz, slot_np)
+        if not space.periodic[-1] and nchunks > 1:
+            def chunk_step(Ag, xs):
+                ids_c, valid_c, c = xs
+                Je, _ = chunk_body(None, (ids_c, valid_c), jacform=jacobian)
+                return fastpath.accumulate_matrix_dyn(
+                    space, Ag, Je, c * kz, slot_np
+                ), None
+
+            A_grid, _ = jax.lax.scan(
+                chunk_step,
+                A_grid,
+                (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
+            )
+        else:
+            for c in range(nchunks):
+                Je, _ = chunk_body(None, (ids[c], valid[c]), jacform=jacobian)
+                A_grid = fastpath.accumulate_matrix(
+                    space, A_grid, Je, c * kz, slot_np
+                )
         A_data = A_grid[:crop].reshape(st.nnodes * st.K, dof, dof)
     else:
         def body(carry, xs):

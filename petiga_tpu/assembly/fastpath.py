@@ -25,7 +25,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["is_regular", "slab_chunk", "accumulate_matrix", "accumulate_vector"]
+__all__ = [
+    "is_regular",
+    "slab_chunk",
+    "accumulate_matrix",
+    "accumulate_vector",
+    "accumulate_matrix_dyn",
+    "accumulate_vector_dyn",
+]
 
 
 def is_regular(space) -> bool:
@@ -191,6 +198,105 @@ def accumulate_matrix(space, A_grid, Ke, z0, slot_table):
             tail = (slice(None),) * (dim - 1) + slot_sl + (slice(None),) * 2
             Agv = Agv.at[(slice(start, start + ext_last),) + tail].add(g)
     return Agv.reshape(A_grid.shape)
+
+
+def accumulate_matrix_dyn(space, A_grid, Ke, z0, slot_table):
+    """accumulate_matrix with a *traced* starting slab index, so the
+    chunk loop can be a ``lax.scan`` (one compiled chunk body instead of
+    nchunks unrolled copies — compile time independent of mesh size).
+
+    Open (non-wrapping) slow axis only: the placement window
+    ``[z0*s + az, ...)`` must be a contiguous in-bounds slab (the caller
+    over-allocates the slow axis exactly as for the static path).
+    Groups local indices ``a`` by their slow-axis component so each slab
+    is read/updated once per slow-axis layer (nen/slab-layers dynamic
+    slices per chunk)."""
+    dim = space.dim
+    dof = space.dof
+    eshape = space.elem_shape
+    steps = _steps(space)
+    nen = space.nen
+    nshape = space.nen_shape
+    p = space.degrees
+    locs = _local_multi(space)
+    B = Ke.shape[0]
+    kz = B // int(np.prod(eshape[:-1])) if dim > 1 else B
+    chunk_shape = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
+    bbox_rev = tuple(nshape[::-1])
+    KeG = Ke.reshape(chunk_shape + (nen,) + bbox_rev + (dof, dof))
+
+    N = space.node_shape
+    s_last = steps[-1]
+    if space.periodic[-1]:
+        raise ValueError("dynamic accumulation requires an open slow axis")
+    sbox_rev = tuple(2 * p[d] + 1 for d in range(dim))[::-1]
+    Agv = A_grid.reshape(A_grid.shape[:dim] + sbox_rev + (dof, dof))
+    ext_last = (kz - 1) * s_last + 1
+
+    for az in range(nshape[-1]):
+        start = z0 * s_last + az
+        window = jax.lax.dynamic_slice_in_dim(Agv, start, ext_last, axis=0)
+        for a in range(nen):
+            a_multi = [int(locs[d][a]) for d in range(dim)]
+            if a_multi[dim - 1] != az:
+                continue
+            g = KeG[(Ellipsis, a) + (slice(None),) * (dim + 2)]
+            g = _place(space, g, a_multi, skip_last=True)
+            if s_last > 1:
+                shape = list(g.shape)
+                shape[0] = ext_last
+                gz = jnp.zeros(shape, g.dtype)
+                g = gz.at[:: s_last].set(g)
+            slot_sl = tuple(
+                slice(p[dim - 1 - gx] - a_multi[dim - 1 - gx],
+                      p[dim - 1 - gx] - a_multi[dim - 1 - gx]
+                      + nshape[dim - 1 - gx])
+                for gx in range(dim)
+            )
+            tail = (slice(None),) * (dim - 1) + slot_sl + (slice(None),) * 2
+            window = window.at[(slice(None),) + tail].add(g)
+        Agv = jax.lax.dynamic_update_slice_in_dim(Agv, window, start, axis=0)
+    return Agv.reshape(A_grid.shape)
+
+
+def accumulate_vector_dyn(space, b_grid, Fe, z0):
+    """accumulate_vector with a traced starting slab index (see
+    :func:`accumulate_matrix_dyn`)."""
+    dim = space.dim
+    dof = space.dof
+    eshape = space.elem_shape
+    steps = _steps(space)
+    nen = space.nen
+    nshape = space.nen_shape
+    locs = _local_multi(space)
+    B = Fe.shape[0]
+    kz = B // int(np.prod(eshape[:-1])) if dim > 1 else B
+    chunk_shape = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
+    FeG = Fe.reshape(chunk_shape + (nen, dof))
+    s_last = steps[-1]
+    if space.periodic[-1]:
+        raise ValueError("dynamic accumulation requires an open slow axis")
+    ext_last = (kz - 1) * s_last + 1
+
+    for az in range(nshape[-1]):
+        start = z0 * s_last + az
+        window = jax.lax.dynamic_slice_in_dim(b_grid, start, ext_last, axis=0)
+        for a in range(nen):
+            a_multi = [int(locs[d][a]) for d in range(dim)]
+            if a_multi[dim - 1] != az:
+                continue
+            g = FeG[..., a, :]
+            g = _place(space, g, a_multi, skip_last=True)
+            if s_last > 1:
+                shape = list(g.shape)
+                shape[0] = ext_last
+                gz = jnp.zeros(shape, g.dtype)
+                g = gz.at[:: s_last].set(g)
+            window = window + g
+        b_grid = jax.lax.dynamic_update_slice_in_dim(
+            b_grid, window, start, axis=0
+        )
+    return b_grid
 
 
 def accumulate_vector(space, b_grid, Fe, z0):

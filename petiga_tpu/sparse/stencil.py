@@ -25,6 +25,7 @@ import dataclasses
 from typing import Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["Stencil", "StencilMatrix", "stencil_apply"]
@@ -193,6 +194,14 @@ class StencilMatrix:
                 pw = [(0, 0)] * (dim + 1)
                 pw[g] = pad[g]
                 xp = jnp.pad(xp, pw, mode="wrap" if modes[g] else "constant")
+
+        # XLA-TPU miscompiles the fusion of (reshape -> pad -> K sliced
+        # consumers) at some shapes (observed: 13^3 grid, dof=3, K=27 —
+        # silently wrong values, compile-dependent).  Materializing the
+        # padded grid with an optimization barrier breaks the bad fusion;
+        # the extra write/read of x is negligible next to the matrix
+        # stream.  Verified by scripts/check_pallas_tpu.py on hardware.
+        xp = jax.lax.optimization_barrier(xp)
 
         dg = self.data.reshape(tuple(N[::-1]) + (s.K, dof, dof))
         y = stencil_apply(dg, xp, s.widths, s.slot_offsets())

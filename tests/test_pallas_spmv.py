@@ -18,6 +18,8 @@ def mass(pt, ctx):
 
 @pytest.mark.parametrize("periodic", [False, True])
 def test_pallas_spmv_matches_xla(periodic):
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
     sp = Space(
         [Axis.uniform(p=2, nel=4, periodic=periodic) for _ in range(3)],
         dtype=F64,
@@ -26,8 +28,49 @@ def test_pallas_spmv_matches_xla(periodic):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
     y_ref = A.matvec(x)
-    y = pallas_matvec(A, x, interpret=True)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-12)
+    op = PallasStencilOperator(A, interpret=True)
+    assert op.ok, "periodic axes must run through the kernel, not fall back"
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(y_ref), atol=1e-12
+    )
+
+
+@pytest.mark.parametrize("periodic", [(True, False), (False, True)])
+def test_pallas_spmv_mixed_periodic(periodic):
+    """Mixed periodic/open axes on the extended-grid packing (2D)."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space(
+        [Axis.uniform(p=2, nel=7, periodic=per) for per in periodic],
+        dtype=F64,
+    )
+    A, _ = assemble_system(sp, mass, apply_fix=False)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    op = PallasStencilOperator(A, interpret=True)
+    assert op.ok
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+
+
+def test_pallas_spmv_periodic_dof2():
+    """Periodic C¹ dof=2 — the CahnHilliard/PhaseFieldCrystal layout."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space(
+        [Axis.uniform(p=2, nel=6, periodic=True) for _ in range(2)],
+        dof=2,
+        dtype=F64,
+    )
+    A, _ = assemble_system(sp, _block_form(2), apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True)
+    assert op.ok
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
 
 
 def _block_form(dof):
