@@ -55,7 +55,11 @@ def main():
 
     ctx = {"c": 0.0, "k": 1.0}
 
-    @jax.jit
+    # NOTE: no outer jit around assembly — big host tables (element ids,
+    # Dirichlet masks) would be embedded as HLO constants and overflow
+    # the remote-compile request limit; the chunk scan inside
+    # assemble_system is still one compiled program with the ids as
+    # runtime arguments.
     def assemble():
         A, b = assemble_system(sp, poisson_system, ctx, chunk=CHUNK)
         return A.data, b
@@ -63,6 +67,7 @@ def main():
     t0 = time.time()
     A_data, b = jax.block_until_ready(assemble())
     compile_s = time.time() - t0
+    print(f"# assembled, compile+run {compile_s:.1f}s", flush=True)
     times = []
     for _ in range(3):
         t0 = time.time()
@@ -70,27 +75,35 @@ def main():
         times.append(time.time() - t0)
     t_asm = min(times)
     nnz_per_s = nnz / t_asm
+    print(f"# assembly {t_asm:.3f}s", flush=True)
 
     A = StencilMatrix(st, A_data)
     op = PallasStencilOperator(A)
     assert op.ok, "Pallas operator must support the bench layout"
+    DT = jax.block_until_ready(op.DT)
 
-    def time_matvec(mv, n=50):
+    # operator data passes as jit ARGUMENTS (embedding the 1.1 GB
+    # planes as constants overflows the remote-compile limit)
+    def time_matvec(mv, data, n=50):
         @jax.jit
-        def loop(x):
+        def loop(data, x):
             def body(i, x):
-                y = mv(x)
+                y = mv(data, x)
                 return y / jnp.sqrt(jnp.vdot(y, y))
             return jax.lax.fori_loop(0, n, body, x)
 
         x = jnp.ones((sp.nnodes, 1), dtype)
-        jax.block_until_ready(loop(x))
+        jax.block_until_ready(loop(data, x))
         t0 = time.time()
-        jax.block_until_ready(loop(x))
+        jax.block_until_ready(loop(data, x))
         return (time.time() - t0) / n
 
-    t_xla = time_matvec(A.matvec)
-    t_pal = time_matvec(op.matvec)
+    t_xla = time_matvec(
+        lambda d, x: StencilMatrix(st, d).matvec(x), A_data
+    )
+    print(f"# xla matvec {t_xla*1e6:.0f}us", flush=True)
+    t_pal = time_matvec(op.matvec_packed, DT)
+    print(f"# pallas matvec {t_pal*1e6:.0f}us", flush=True)
     # HBM roofline: read the stencil matrix once.  Stencil storage
     # streams nnodes*K entries (incl. boundary zero slots); at 128^3 p=2
     # that is 1.6% above nnz.  ~819 GB/s on v5e.
@@ -98,14 +111,16 @@ def main():
     sol = stream_bytes / 819e9
 
     @jax.jit
-    def solve(b):
-        M = jacobi_preconditioner(A)
-        r = cg(op, b, M=M, rtol=1e-6, maxiter=2000)
+    def solve(A_data, DT, b):
+        Am = StencilMatrix(st, A_data)
+        M = jacobi_preconditioner(Am)
+        r = cg(lambda x: op.matvec_packed(DT, x), b, M=M, rtol=1e-6,
+               maxiter=2000)
         return r.x, r.iters, r.residual
 
-    jax.block_until_ready(solve(b))
+    jax.block_until_ready(solve(A_data, DT, b))
     t0 = time.time()
-    xsol, iters, res = jax.block_until_ready(solve(b))
+    xsol, iters, res = jax.block_until_ready(solve(A_data, DT, b))
     t_solve = time.time() - t0
 
     baseline = 5e7  # nnz/s: MODELED reference single-core MatSetValues

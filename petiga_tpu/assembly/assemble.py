@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sparse.stencil import Stencil, StencilMatrix
+from ..utils import profiling
 from .point import Point
 from .tabulation import PointBlock, tabulate_elements
 
@@ -209,14 +210,15 @@ def assemble_system(
     st = stencil_of(space)
     dt = space.dtype
     nen, dof = space.nen, space.dof
-    mapping = space.device("mapping")
     fast = method != "scatter" and fastpath.is_regular(space)
     if method == "shift" and not fast:
         raise ValueError("shift method requires a regular (non-collocation) space")
+    profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
+    @jax.named_scope("IGA_FormSystem")
     def element_KF(ids, valid, face, form):
         pb = tabulate_elements(space, ids, order=order, face=face)
-        emap = mapping[ids]
+        emap = space.device_emap(ids)
         B = ids.shape[0]
 
         if getattr(form, "qbatched", False):
@@ -349,14 +351,15 @@ def assemble_vector(space, vecform, ctx=None, *, order=None, chunk=None):
     dt = space.dtype
     nen, dof = space.nen, space.dof
     b = jnp.zeros((space.nnodes, dof), dtype=dt)
-    mapping = space.device("mapping")
     ids, valid = _chunks(space, chunk)
+    profiling.count("IGA_FormVector", profiling.residual_flops(space))
 
+    @jax.named_scope("IGA_FormVector")
     def chunk_body(carry, xs):
         b = carry
         ids, valid = xs
         pb = tabulate_elements(space, ids, order=order)
-        emap = mapping[ids]
+        emap = space.device_emap(ids)
         B = ids.shape[0]
 
         def body(Fa, pt, w):
@@ -437,14 +440,15 @@ def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
     nen, dof = space.nen, space.dof
     U = U.reshape(space.nnodes, dof)
     F = jnp.zeros((space.nnodes, dof), dtype=dt)
-    mapping = space.device("mapping")
     ids, valid = _chunks(space, chunk)
+    profiling.count("IGA_FormFunction", profiling.residual_flops(space))
 
+    @jax.named_scope("IGA_FormFunction")
     def chunk_body(carry, xs, face=None, form=function):
         F = carry
         ids, valid = xs
         pb = tabulate_elements(space, ids, order=order, face=face)
-        emap = mapping[ids]
+        emap = space.device_emap(ids)
         Ue = U[emap]
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
@@ -490,14 +494,15 @@ def assemble_jacobian(
     nen, dof = space.nen, space.dof
     U = U.reshape(space.nnodes, dof)
     A_data = jnp.zeros((st.nnodes * st.K, dof, dof), dtype=dt)
-    mapping = space.device("mapping")
     ids, valid = _chunks(space, chunk)
+    profiling.count("IGA_FormJacobian", profiling.jacobian_flops(space))
 
+    @jax.named_scope("IGA_FormJacobian")
     def chunk_body(carry, xs, face=None, form=function, jacform=None):
         A_data = carry
         ids, valid = xs
         pb = tabulate_elements(space, ids, order=order, face=face)
-        emap = mapping[ids]
+        emap = space.device_emap(ids)
         Ue = U[emap]
         m, v = _fix_arrays(space, emap)
         B = ids.shape[0]
@@ -635,14 +640,15 @@ def compute_scalar(space, functional, U=None, ctx=None, *, order=None, chunk=Non
     """Quadrature sum of a scalar functional (IGAComputeScalar,
     petigacomp.c:35-90).  ``functional(pt, Ue, ctx) -> (nsc,)``."""
     dt = space.dtype
-    mapping = space.device("mapping")
     Uv = None if U is None else U.reshape(space.nnodes, space.dof)
     ids, valid = _chunks(space, chunk)
+    profiling.count("IGA_FormScalar", profiling.residual_flops(space))
 
+    @jax.named_scope("IGA_FormScalar")
     def chunk_body(acc, xs):
         ids, valid = xs
         pb = tabulate_elements(space, ids, order=order)
-        emap = mapping[ids]
+        emap = space.device_emap(ids)
         Ue = None if Uv is None else Uv[emap]
 
         def body(a, pt, w):
@@ -673,7 +679,7 @@ def _probe_functional(space, functional, Uv, ctx, order):
     ids = jnp.zeros((1,), jnp.int32)
     pb = tabulate_elements(space, ids, order=order)
     pt = jax.tree.map(lambda a: a[0, 0], _points_of(pb))
-    Ue = None if Uv is None else Uv[space.device("mapping")[ids]][0]
+    Ue = None if Uv is None else Uv[space.device_emap(ids)][0]
     return jnp.atleast_1d(functional(pt, Ue, ctx))
 
 

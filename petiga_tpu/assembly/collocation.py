@@ -115,8 +115,7 @@ def assemble_collocation_function(space, function: Callable, U, ctx=None, *,
     ids = jnp.arange(npts)
     pb = tabulate_elements(sp, ids, order=order)
     pts = jax.tree.map(lambda a: a[:, 0], _points_of(pb))
-    mapping = sp.device("mapping")
-    emap = mapping[ids]
+    emap = sp.device_emap(ids)
     mask, vals = _boundary_normals(sp)
     mask_j = jnp.asarray(mask)
     vals_j = jnp.asarray(vals, dt)
@@ -144,8 +143,7 @@ def assemble_collocation_jacobian(space, function: Callable, U, ctx=None, *,
     ids = jnp.arange(npts)
     pb = tabulate_elements(sp, ids, order=order)
     pts = jax.tree.map(lambda a: a[:, 0], _points_of(pb))
-    mapping = sp.device("mapping")
-    emap = mapping[ids]
+    emap = sp.device_emap(ids)
     mask, vals = _boundary_normals(sp)
     mask_j = jnp.asarray(mask)
     vals_j = jnp.asarray(vals, dt)

@@ -482,8 +482,7 @@ def tabulate_elements(
 
     N = tensor_basis(axis_tables, order)
 
-    mapping = space.device("mapping")
-    emap = mapping[elem_ids]  # (B, nen)
+    emap = space.device_emap(elem_ids)  # (B, nen)
 
     if space.is_rational:
         W = space.device("rational")[emap]  # (B, nen)

@@ -174,6 +174,33 @@ class Space:
             out.append(np.mod(idx, ax.nnp))
         return tuple(out)
 
+    def device_emap(self, ids):
+        """(B,) flat element ids -> (B, nen) flat closure node indices,
+        computed ON DEVICE from the per-axis closure tables.
+
+        This is the traced counterpart of :attr:`mapping` — the full
+        (nel, nen) table would be embedded as an HLO constant (227 MB at
+        128³ p=2, which overflows remote-compile request limits); the
+        per-axis tables are O(nel_d · nen_d) instead."""
+        import jax.numpy as jnp
+
+        per_axis = self.device("axis_node_index")
+        eshape = self.elem_shape
+        grids = np.meshgrid(
+            *[np.arange(n) for n in self.nen_shape], indexing="ij"
+        )
+        locs = [g.ravel(order="F") for g in grids]
+        rem = ids
+        flat = jnp.zeros((ids.shape[0], self.nen), jnp.int32)
+        stride = 1
+        for d in range(self.dim):
+            e_d = rem % eshape[d]
+            rem = rem // eshape[d]
+            idx = per_axis[d][e_d][:, locs[d]]  # (B, nen)
+            flat = flat + idx.astype(jnp.int32) * stride
+            stride *= self.node_shape[d]
+        return flat
+
     @cached_property
     def mapping(self) -> np.ndarray:
         """Element closure map: (nel, nen) flat control-point indices.
@@ -387,6 +414,10 @@ class Space:
             return tuple(jnp.asarray(t.bnd_value, dtype=dt) for t in self.tabs)
         if key == "mapping":
             return jnp.asarray(self.mapping)
+        if key == "axis_node_index":
+            return tuple(
+                jnp.asarray(t, jnp.int32) for t in self.axis_node_index
+            )
         if key == "geometry":
             return None if self.geometry is None else jnp.asarray(self.geometry, dt)
         if key == "rational":

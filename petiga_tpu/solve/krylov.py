@@ -16,6 +16,8 @@ from typing import Callable, NamedTuple, Optional, Union
 import jax
 import jax.numpy as jnp
 
+from ..utils import profiling
+
 __all__ = ["cg", "bicgstab", "gmres", "jacobi_preconditioner", "block_jacobi_preconditioner"]
 
 
@@ -75,6 +77,9 @@ def cg(
     Converges on ``||r|| <= max(rtol*||b||, atol)`` like PETSc's default
     KSP test.  Runs entirely in a ``lax.while_loop``.
     """
+    profiling.count("KSPSolve")
+    profiling.count("KSPSolve")
+    profiling.count("KSPSolve")
     matvec = _as_matvec(A)
     Mv = M if M is not None else (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0

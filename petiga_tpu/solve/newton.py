@@ -52,6 +52,9 @@ def newton(
     Dirichlet dofs are driven to their boundary values through the
     fix-value residual semantics (petigaelem.c:1441-1481).
     """
+    from ..utils import profiling
+
+    profiling.count("SNESSolve")
     dof = space.dof
     shape = (space.nnodes, dof)
     U0 = U0.reshape(shape)

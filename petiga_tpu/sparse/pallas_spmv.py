@@ -275,10 +275,20 @@ class PallasStencilOperator:
     def matvec(self, x):
         if not self.ok:
             return self.A.matvec(x)
+        return self.matvec_packed(self.DT, x)
+
+    def matvec_packed(self, DT, x):
+        """matvec with the packed slot-major planes passed explicitly.
+
+        Closing a jitted solve over ``self.DT`` embeds the (GB-scale)
+        planes as an HLO constant — which overflows remote-compile
+        request limits and bloats executables.  Pass ``op.DT`` as a jit
+        argument and apply with this method instead; ``self`` then only
+        contributes static packing metadata."""
         flat_in = x.ndim == 1
         xb = self._pack_x(x.reshape(self.st.nnodes, self.dof))
         y = _flat_spmv(
-            self.DT,
+            DT,
             xb,
             shifts=self.shifts,
             dof=self.dof,

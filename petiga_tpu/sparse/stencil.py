@@ -171,8 +171,12 @@ class StencilMatrix:
 
     # ---------------------------------------------------------------- apply
 
+    @jax.named_scope("MatMult")
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x with x, y of shape (nnodes, dof) (or (nnodes*dof,))."""
+        from ..utils import profiling
+
+        profiling.count("MatMult", profiling.spmv_flops(self.stencil))
         s = self.stencil
         dim, dof = s.dim, s.dof
         N = s.node_shape
