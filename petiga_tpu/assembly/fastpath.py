@@ -27,12 +27,84 @@ import jax.numpy as jnp
 
 __all__ = [
     "is_regular",
+    "is_unit_step",
     "slab_chunk",
     "accumulate_matrix",
     "accumulate_vector",
     "accumulate_matrix_dyn",
     "accumulate_vector_dyn",
+    "accumulate_box",
 ]
+
+
+def is_unit_step(space) -> bool:
+    """Regular AND unit element step on every axis (maximal continuity,
+    open or periodic) — the precondition for the distributed box
+    fastpath."""
+    return is_regular(space) and all(s == 1 for s in _steps(space))
+
+
+def accumulate_box(space, ebox, Ke, Fe, z0: int = 0, Gm=None, Gv=None):
+    """Shift-accumulate element blocks of a regular element SUB-BOX into
+    a box-local stencil grid (the per-device distributed fastpath: the
+    scatter-add in DistSpace assembly becomes (nen)² static slice adds,
+    like the serial path).
+
+    Args:
+      ebox: full box extents (e_0..e_{dim-1}) — static.
+      Ke: (B, nen, nen, dof, dof) with B = kz·prod(ebox[:-1]) covering
+        slabs [z0, z0+kz) of the box's slowest axis, axis-0-fastest.
+      Fe: (B, nen, dof).
+      z0: static starting slab of this chunk within the box.
+      Gm/Gv: accumulators on the box-extended grid
+        ((ebox_d - 1 + nen_d)_rev..., K, dof, dof) / (..., dof);
+        allocated when None.
+
+    Unit element step only (``is_unit_step``); the caller places the
+    result into its halo-extended local block at the device origin.
+    """
+    dim = space.dim
+    dof = space.dof
+    nen = space.nen
+    nshape = space.nen_shape
+    p = space.degrees
+    locs = _local_multi(space)
+    bext = tuple(ebox[d] - 1 + nshape[d] for d in range(dim))
+    bext_rev = bext[::-1]
+    bbox_rev = tuple(nshape[::-1])
+    sbox_rev = tuple(2 * p[d] + 1 for d in range(dim))[::-1]
+    K = 1
+    for pd in p:
+        K *= 2 * pd + 1
+    B = Ke.shape[0]
+    kz = B // int(np.prod(ebox[:-1])) if dim > 1 else B
+    chunk_rev = (kz,) + tuple(ebox[:-1][::-1]) if dim > 1 else (kz,)
+    KeG = Ke.reshape(chunk_rev + (nen,) + bbox_rev + (dof, dof))
+    FeG = Fe.reshape(chunk_rev + (nen, dof))
+    if Gm is None:
+        Gm = jnp.zeros(bext_rev + sbox_rev + (dof, dof), Ke.dtype)
+    else:
+        Gm = Gm.reshape(bext_rev + sbox_rev + (dof, dof))
+    if Gv is None:
+        Gv = jnp.zeros(bext_rev + (dof,), Fe.dtype)
+    for a in range(nen):
+        am = [int(locs[d][a]) for d in range(dim)]
+        gsl = []
+        for g in range(dim):
+            d = dim - 1 - g
+            lo = am[d] + (z0 if g == 0 else 0)
+            n_el = kz if g == 0 else ebox[d]
+            gsl.append(slice(lo, lo + n_el))
+        gsl = tuple(gsl)
+        slot_sl = tuple(
+            slice(p[dim - 1 - g] - am[dim - 1 - g],
+                  p[dim - 1 - g] - am[dim - 1 - g] + nshape[dim - 1 - g])
+            for g in range(dim)
+        )
+        g_ = KeG[(Ellipsis, a) + (slice(None),) * (dim + 2)]
+        Gm = Gm.at[gsl + slot_sl + (slice(None), slice(None))].add(g_)
+        Gv = Gv.at[gsl + (slice(None),)].add(FeG[..., a, :])
+    return Gm.reshape(bext_rev + (K, dof, dof)), Gv
 
 
 def is_regular(space) -> bool:

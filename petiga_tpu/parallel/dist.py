@@ -180,6 +180,49 @@ class DistSpace:
             args += [ids, valid]
         return args
 
+    def _box_setup(self):
+        """Per-device element sub-box tables for the shift fastpath
+        (unit-step regular spaces): owned elements per axis form the
+        contiguous range [e0_d, e0_d + cnt_d); returns mesh-layout
+        (e0, cnt) arrays and the static max box ``ebox``.  Cached."""
+        if hasattr(self, "_box_cache"):
+            return self._box_cache
+        sp = self.space
+        dim = sp.dim
+        off0 = [int(sp.tabs[d].offset[0]) for d in range(dim)]
+        e0s, cnts, ebox = [], [], []
+        for d in range(dim):
+            m, Ld = self.pgrid[d], self.L[d]
+            nel_d = sp.elem_shape[d]
+            lo = np.clip(np.arange(m) * Ld - off0[d], 0, nel_d)
+            hi = np.clip((np.arange(m) + 1) * Ld - off0[d], 0, nel_d)
+            hi[-1] = nel_d  # last device also owns the overhang
+            e0s.append(lo)
+            cnts.append(hi - lo)
+            ebox.append(max(1, int(np.max(hi - lo))))
+        ndev = int(np.prod(self.pgrid))
+        e0_arr = np.zeros((ndev, dim), np.int32)
+        cnt_arr = np.zeros((ndev, dim), np.int32)
+        for r in range(ndev):
+            rem = r
+            # flat mesh order: spatial dim-1 slowest (see _partition_elements)
+            coords = []
+            for d in range(dim):
+                coords.append(rem % self.pgrid[d])
+                rem //= self.pgrid[d]
+            for d in range(dim):
+                e0_arr[r, d] = e0s[d][coords[d]]
+                cnt_arr[r, d] = cnts[d][coords[d]]
+        mesh_shape = tuple(self.pgrid[::-1])
+        out = (
+            jnp.asarray(e0_arr.reshape(mesh_shape + (dim,))),
+            jnp.asarray(cnt_arr.reshape(mesh_shape + (dim,))),
+            tuple(ebox),
+            tuple(off0),
+        )
+        self._box_cache = out
+        return out
+
     # ------------------------------------------------------------- shardings
 
     def grid_spec(self, extra: int = 1) -> P:
@@ -346,14 +389,71 @@ class DistSpace:
             )
             return data_ext, b_ext
 
-        def local(elem_ids, elem_valid, *face_args):
+        from ..assembly import fastpath
+
+        use_box = fastpath.is_unit_step(sp)
+        eshape = sp.elem_shape
+
+        def box_interior(e0_a, cnt_a):
+            """Shift fastpath per device: the owned elements form a
+            regular sub-box, so accumulation is (nen)^2 static slice
+            adds into a box grid placed at the device origin — no
+            scatter (the 10-100x cheaper path the serial assembly uses,
+            assembly/fastpath.py)."""
+            _, _, ebox, off0 = self._box_setup()
+            e0 = e0_a.reshape(dim)
+            cnt = cnt_a.reshape(dim)
+            Bbox = int(np.prod(ebox))
+            jm = np.unravel_index(np.arange(Bbox), ebox, order="F")
+            ids = jnp.zeros((Bbox,), jnp.int32)
+            valid = jnp.ones((Bbox,), bool)
+            stride = 1
+            for d in range(dim):
+                jd = jnp.asarray(jm[d], jnp.int32)
+                idx = e0[d] + jd
+                valid = valid & (jd < cnt[d])
+                ids = ids + jnp.clip(idx, 0, eshape[d] - 1) * stride
+                stride *= eshape[d]
+            Ke, Fe, _ = elem_KF(ids, valid, None, system)
+            Keb = Ke.reshape(Bbox, nen, dof, nen, dof).transpose(
+                0, 1, 3, 2, 4
+            )
+            Gm, Gv = fastpath.accumulate_box(
+                sp, ebox, Keb, Fe.reshape(Bbox, nen, dof)
+            )
+            origs = []
+            for g in range(dim):
+                d = dim - 1 - g
+                r_d = jax.lax.axis_index(names[d])
+                origs.append(off0[d] + e0[d] - r_d * L[d] + p[d])
+            zero3 = jnp.asarray(0, jnp.int32)
+            data_ext_g = jax.lax.dynamic_update_slice(
+                jnp.zeros(tuple(Lext[::-1]) + (K, dof, dof), dt), Gm,
+                tuple(origs) + (zero3, zero3, zero3),
+            )
+            b_ext_g = jax.lax.dynamic_update_slice(
+                jnp.zeros(tuple(Lext[::-1]) + (dof,), dt), Gv,
+                tuple(origs) + (zero3,),
+            )
+            return (
+                data_ext_g.reshape(next_ext * K, dof, dof),
+                b_ext_g.reshape(next_ext, dof),
+            )
+
+        def local(elem_ids, elem_valid, *rest):
             # leading mesh axes are size 1 inside shard_map
-            ids = elem_ids.reshape(-1)
-            valid = elem_valid.reshape(-1)
-            data_ext = jnp.zeros((next_ext * K, dof, dof), dt)
-            b_ext = jnp.zeros((next_ext, dof), dt)
-            Ke, Fe, loc_rows = elem_KF(ids, valid, None, system)
-            data_ext, b_ext = scatter(data_ext, b_ext, Ke, Fe, loc_rows)
+            if use_box:
+                e0_a, cnt_a = rest[:2]
+                face_args = rest[2:]
+                data_ext, b_ext = box_interior(e0_a, cnt_a)
+            else:
+                face_args = rest
+                ids = elem_ids.reshape(-1)
+                valid = elem_valid.reshape(-1)
+                data_ext = jnp.zeros((next_ext * K, dof, dof), dt)
+                b_ext = jnp.zeros((next_ext, dof), dt)
+                Ke, Fe, loc_rows = elem_KF(ids, valid, None, system)
+                data_ext, b_ext = scatter(data_ext, b_ext, Ke, Fe, loc_rows)
             if boundary is not None:
                 faces = _faces_to_visit(sp)
                 for (d, s), fids_a, fval_a in zip(
@@ -377,17 +477,21 @@ class DistSpace:
             return data_loc, b_loc
 
         face_args = self._face_args(boundary)
+        extra = []
+        if use_box:
+            e0_arr, cnt_arr, _, _ = self._box_setup()
+            extra = [e0_arr, cnt_arr]
         shard = jax.shard_map(
             local,
             mesh=self.mesh,
             in_specs=(self.elem_spec(), self.elem_spec())
-            + (self.elem_spec(),) * len(face_args),
+            + (self.elem_spec(),) * (len(extra) + len(face_args)),
             out_specs=(self.grid_spec(3), self.grid_spec(1)),
             check_vma=False,
         )
         data, b = shard(
             jnp.asarray(self.elem_ids), jnp.asarray(self.elem_valid),
-            *face_args,
+            *extra, *face_args,
         )
         if flux is not None:
             fl = self.pad_grid(jnp.where(sp.device("dirichlet")[0], 0.0,

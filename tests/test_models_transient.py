@@ -50,3 +50,30 @@ def test_cavity_vms():
     assert Ug[1:-1, :, 0].min() < -1e-3
     # residual reduced substantially
     assert float(res.fnorm) < 1e-4
+
+
+def test_transient_vms_taylor_green():
+    """Transient RBVMS Navier-Stokes (demo/NavierStokesVMS.c parity):
+    two generalized-α steps on the Taylor-Green vortex decay the kinetic
+    energy at ~exp(-16 pi^2 nu t) and keep the field divergence-small."""
+    import numpy as np
+    import jax.numpy as jnp
+    from petiga_tpu.models.navierstokes import (
+        taylor_green_space, taylor_green_init, solve_transient_vms,
+        kinetic_energy, divergence_l2,
+    )
+
+    nu, dt = 0.02, 5e-3
+    sp = taylor_green_space(nel=8, p=2)
+    U0 = jnp.asarray(taylor_green_init(sp, nu))
+    E0 = float(kinetic_energy(sp, U0))
+    # analytic consistent initial rate: d/dt of the separable decay
+    lam = 8 * np.pi**2 * nu
+    V0 = U0 * jnp.asarray([-lam, -lam, -2 * lam])
+    U, V, t = solve_transient_vms(sp, U0, nu=nu, dt=dt, nsteps=2, V0=V0)
+    E1 = float(kinetic_energy(sp, U))
+    expect = float(np.exp(-16 * np.pi**2 * nu * t))
+    assert np.isfinite(np.asarray(U)).all()
+    assert E1 < E0  # energy decays
+    np.testing.assert_allclose(E1 / E0, expect, rtol=0.05)
+    assert float(divergence_l2(sp, U)) < 0.5
