@@ -39,6 +39,7 @@ __all__ = [
     "ExplicitStepper",
     "integrate",
     "integrate_adaptive",
+    "integrate_adaptive_device",
     "AdaptResult",
 ]
 
@@ -381,3 +382,77 @@ def integrate_adaptive(
             if dt < dt_min:
                 raise RuntimeError(f"adaptive dt underflow at t={t}")
     return U, V, AdaptResult(t, steps, rejections, dt)
+
+
+def integrate_adaptive_device(
+    stepper,
+    U0,
+    t0: float,
+    dt0: float,
+    t_end: float,
+    *,
+    V0=None,
+    rtol: float = 1e-2,
+    atol: float = 1e-2,
+    safety: float = 0.9,
+    clip: tuple = (0.1, 10.0),
+    dt_min: float = 1e-12,
+    max_steps: int = 100000,
+):
+    """:func:`integrate_adaptive` with the WHOLE adaptive run as one
+    compiled ``lax.while_loop`` — step, WLTE estimate, accept/reject and
+    the dt controller all on device, zero per-step host round trips
+    (each of which costs ~0.5 s on the remote-TPU tunnel; the host-loop
+    variant keeps per-step monitors instead).  Same basic controller as
+    PETSc's TSADAPTBASIC.  Returns ``(U, V, AdaptResult)``."""
+    if not isinstance(stepper, AlphaStepper):
+        raise TypeError("integrate_adaptive_device requires an AlphaStepper")
+    sp = stepper.space
+    mask, _ = sp.dirichlet_mask()
+    free = jnp.asarray(~mask)
+    nfree = max(int(free.sum()), 1)
+    lo, hi = clip
+    order_pow = -1.0 / 3.0  # order 2 controller exponent
+
+    def wlte(Uold, Unew, Vnew, dt):
+        U_be = Uold + dt * Vnew
+        w = atol + rtol * jnp.maximum(jnp.abs(Uold), jnp.abs(Unew))
+        d = jnp.where(free, (Unew - U_be) / w, 0.0)
+        return jnp.sqrt(jnp.sum(d * d) / nfree)
+
+    U = jnp.asarray(U0).reshape(sp.nnodes, sp.dof)
+    V = (stepper.initial_velocity(U, t0) if V0 is None
+         else jnp.asarray(V0).reshape(U.shape))
+    eps_end = 1e-14 * max(1.0, abs(t_end))
+
+    @jax.jit
+    def run(U, V):
+        def cond(s):
+            U, V, t, dt, steps, rej = s
+            return (
+                (t < t_end - eps_end) & (steps < max_steps) & (dt > dt_min)
+            )
+
+        def body(s):
+            U, V, t, dt, steps, rej = s
+            dt_try = jnp.minimum(dt, t_end - t)
+            U1, V1, _ = stepper._step(U, V, t, dt_try)
+            err = wlte(U, U1, V1, dt_try)
+            fac = jnp.where(err > 0, safety * err ** order_pow, hi)
+            dt_new = dt_try * jnp.clip(fac, lo, hi)
+            accept = err < 1.0
+            U = jnp.where(accept, U1, U)
+            V = jnp.where(accept, V1, V)
+            t = jnp.where(accept, t + dt_try, t)
+            steps = steps + accept.astype(jnp.int32)
+            rej = rej + (1 - accept.astype(jnp.int32))
+            return (U, V, t, dt_new, steps, rej)
+
+        t = jnp.asarray(float(t0), U.dtype)
+        dt = jnp.asarray(float(dt0), U.dtype)
+        return jax.lax.while_loop(
+            cond, body, (U, V, t, dt, jnp.int32(0), jnp.int32(0))
+        )
+
+    U, V, t, dt, steps, rej = run(U, V)
+    return U, V, AdaptResult(float(t), int(steps), int(rej), float(dt))

@@ -31,23 +31,33 @@ __all__ = ["MatFreeOperator"]
 
 
 class MatFreeOperator:
-    """y = A x for a(u,v) = ∫ c u v + κ ∇u·∇v, dof = 1.
+    """y = A x for a(u,v) = ∫ v_a C_ab u_b + ∇v_a · K_ab ∇u_b.
 
-    c and κ are constants or arrays over (elements, quadrature points)
-    of shape (nel, nqp).  Dirichlet rows/cols follow the assembled
-    semantics (eliminated, diagonal = element multiplicity).
+    dof = 1: ``c`` and ``kappa`` are scalars (the classic
+    reaction-diffusion form).  dof > 1: pass ``C``/``Kmat`` as (dof,dof)
+    coefficient matrices coupling the fields (e.g. multi-species
+    reaction-diffusion; zero entries are skipped statically, so the cost
+    is one sum-factorized pass per NONZERO block).  Dirichlet rows/cols
+    follow the assembled semantics (eliminated, diagonal = element
+    multiplicity).
     """
 
-    def __init__(self, space, c=0.0, kappa=1.0):
+    def __init__(self, space, c=0.0, kappa=1.0, C=None, Kmat=None):
         if not is_regular(space):
             raise ValueError("matrix-free apply requires a regular space")
-        if space.dof != 1:
-            raise ValueError("dof=1 only (vector forms: assemble)")
         if any(_steps(space)[d] != 1 for d in range(space.dim)):
             raise ValueError("maximal continuity only (step 1 offsets)")
         self.space = space
-        self.c = c
-        self.kappa = kappa
+        dof = space.dof
+        self.C = np.asarray(
+            C if C is not None else np.eye(dof) * c, np.float64
+        ).reshape(dof, dof)
+        self.Kmat = np.asarray(
+            Kmat if Kmat is not None else np.eye(dof) * kappa, np.float64
+        ).reshape(dof, dof)
+        # dof=1 compatibility attributes
+        self.c = float(self.C[0, 0])
+        self.kappa = float(self.Kmat[0, 0])
         sp = space
         dim = sp.dim
         dt = sp.dtype
@@ -59,7 +69,7 @@ class MatFreeOperator:
             jnp.asarray(t.weight * t.detJac[:, None], dt) for t in sp.tabs
         ]
         mask, _ = sp.dirichlet_mask()
-        self.fixed = jnp.asarray(mask[:, 0])
+        self.fixed = jnp.asarray(mask)  # (nnodes, dof)
         mult = np.zeros(sp.nnodes)
         np.add.at(mult, sp.mapping.ravel(), 1.0)
         self.mult = jnp.asarray(mult, dt)
@@ -126,12 +136,35 @@ class MatFreeOperator:
 
     def matvec(self, x):
         sp = self.space
-        dim = sp.dim
+        dof = sp.dof
         N = sp.node_shape
         flat_in = x.ndim == 1
-        xv = x.reshape(sp.nnodes)
+        xv = x.reshape(sp.nnodes, dof)
         xm = jnp.where(self.fixed, 0.0, xv)
-        xg = xm.reshape(tuple(N[::-1]))
+        ys = []
+        for a in range(dof):
+            ya = None
+            for b in range(dof):
+                cab = float(self.C[a, b])
+                kab = float(self.Kmat[a, b])
+                if cab == 0.0 and kab == 0.0:
+                    continue
+                xg = xm[:, b].reshape(tuple(N[::-1]))
+                t = self._apply_field(xg, cab, kab)
+                ya = t if ya is None else ya + t
+            ys.append(
+                ya if ya is not None
+                else jnp.zeros(sp.nnodes, xv.dtype)
+            )
+        y = jnp.stack(ys, axis=-1)  # (nnodes, dof)
+        y = jnp.where(self.fixed, self.mult[:, None] * xv, y)
+        return y.reshape(-1) if flat_in else y
+
+    def _apply_field(self, xg, c, kappa):
+        """Sum-factorized apply of one scalar field pair; returns flat
+        (nnodes,)."""
+        sp = self.space
+        dim = sp.dim
 
         xe = self._gather(xg)  # (E_rev..., a_z, a_y, a_x)
 
@@ -157,7 +190,7 @@ class MatFreeOperator:
 
         # values and per-axis parametric derivatives at quad points
         fields = []
-        c_is_zero = isinstance(self.c, (int, float)) and self.c == 0.0
+        c_is_zero = c == 0.0
         if not c_is_zero:
             fields.append(("val", [self.B0[d] for d in range(dim)]))
         for dd in range(dim):
@@ -185,9 +218,9 @@ class MatFreeOperator:
         # supported matrix-free); gradient in physical = parametric here
         acc = {}
         if not c_is_zero:
-            acc["val"] = self.c * w * evals["val"]
+            acc["val"] = c * w * evals["val"]
         for dd in range(dim):
-            acc[f"g{dd}"] = self.kappa * w * evals[f"g{dd}"]
+            acc[f"g{dd}"] = kappa * w * evals[f"g{dd}"]
 
         # transpose chain: contract back to closures and scatter
         def contract_T(z, tabs):
@@ -208,11 +241,7 @@ class MatFreeOperator:
             term = contract_T(acc[name], tabs)
             ye = term if ye is None else ye + term
 
-        yg = self._scatter(ye)
-        y = yg.reshape(-1)
-        y = jnp.where(self.fixed, self.mult * xv, y)
-        out = y.reshape(sp.nnodes, 1)
-        return out.reshape(-1) if flat_in else out
+        return self._scatter(ye).reshape(-1)
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -225,9 +254,6 @@ class MatFreeOperator:
         # exact diagonal by applying to unit grid? cost dim+1 matvecs of
         # special structure — use the cheap standard trick: diag(A) via
         # sum over q of w * (c N_a^2 + κ Σ_d (∂N_a)^2), separable per axis
-        terms = []
-        c_is_zero = isinstance(self.c, (int, float)) and self.c == 0.0
-
         def axis_diag(tabs):
             # (nnodes_d,) per axis: Σ_e Σ_q w N[a]^2 scattered by a
             outs = []
@@ -244,8 +270,6 @@ class MatFreeOperator:
                 outs.append(o)
             return outs
 
-        total = jnp.zeros(sp.nnodes, sp.dtype)
-
         def outer(parts):
             g = None
             for gax in range(dim):
@@ -256,10 +280,19 @@ class MatFreeOperator:
                 g = pd if g is None else g * pd
             return g.reshape(-1)
 
-        if not c_is_zero:
-            total = total + self.c * outer(axis_diag(self.B0))
-        for dd in range(dim):
-            tabs = [self.B1[d] if d == dd else self.B0[d] for d in range(dim)]
-            total = total + self.kappa * outer(axis_diag(tabs))
-        total = jnp.where(self.fixed, self.mult, total)
-        return total.reshape(sp.nnodes, 1)
+        cols = []
+        for a in range(sp.dof):
+            caa = float(self.C[a, a])
+            kaa = float(self.Kmat[a, a])
+            total = jnp.zeros(sp.nnodes, sp.dtype)
+            if caa != 0.0:
+                total = total + caa * outer(axis_diag(self.B0))
+            for dd in range(dim):
+                tabs = [
+                    self.B1[d] if d == dd else self.B0[d]
+                    for d in range(dim)
+                ]
+                total = total + kaa * outer(axis_diag(tabs))
+            cols.append(total)
+        out = jnp.stack(cols, axis=-1)
+        return jnp.where(self.fixed, self.mult[:, None], out)

@@ -240,19 +240,43 @@ class StencilMatrix:
         return jnp.diagonal(d, axis1=-2, axis2=-1)
 
     def transpose(self) -> "StencilMatrix":
-        """A^T in the same storage (reverse slots, swap block axes, shift
-        rows)."""
+        """A^T in the same storage: ``AT[j, s] = A[j + off(s), rev(s)]^T``
+        with rev(s) = K-1-s (the slot enumeration is symmetric).  Pure
+        shifted slices/rolls on the node grid — jittable, usable inside
+        traced regions (e.g. building the normal-equations operator)."""
         s = self.stencil
-        cols = s.column_index()  # (nnodes, K)
-        # A^T[j, rev(s)] = A[i, s]^T for j = col(i, s); scatter approach:
-        data = np.zeros(self.data.shape, dtype=np.asarray(self.data).dtype)
-        rev = np.arange(s.K)[::-1]
-        np.add.at(
-            data,
-            (cols.ravel(), np.tile(rev, s.nnodes)),
-            np.asarray(self.data).transpose(0, 1, 3, 2).reshape(-1, s.dof, s.dof),
-        )
-        return StencilMatrix(s, jnp.asarray(data))
+        dim, dof, K = s.dim, s.dof, s.K
+        N = s.node_shape
+        offs = s.slot_offsets()
+        dg = self.data.reshape(tuple(N[::-1]) + (K, dof, dof))
+        planes = []
+        for snew in range(K):
+            # reversed slot of the source, block axes swapped
+            src = jnp.swapaxes(dg[..., K - 1 - snew, :, :], -1, -2)
+            for g in range(dim):
+                d = dim - 1 - g
+                o = int(offs[snew, d])
+                if o == 0:
+                    continue
+                if s.periodic[d]:
+                    src = jnp.roll(src, -o, axis=g)
+                else:
+                    # AT[j] = A[j + o]: slice with zero fill
+                    pad = [(0, 0)] * src.ndim
+                    if o > 0:
+                        pad[g] = (0, o)
+                        src = jnp.pad(
+                            jax.lax.slice_in_dim(src, o, N[d], axis=g), pad
+                        )
+                    else:
+                        pad[g] = (-o, 0)
+                        src = jnp.pad(
+                            jax.lax.slice_in_dim(src, 0, N[d] + o, axis=g),
+                            pad,
+                        )
+            planes.append(src)
+        data = jnp.stack(planes, axis=dim)  # (N_rev..., K, dof, dof)
+        return StencilMatrix(s, data.reshape(s.nnodes, K, dof, dof))
 
     # -------------------------------------------------------------- exports
 

@@ -149,3 +149,28 @@ def test_boundary_load_flux():
     np.testing.assert_allclose(extra[:, :4], 0.0, atol=1e-14)
     # face element length = 0.25; interior face nodes belong to 2 elements
     np.testing.assert_allclose(extra[:, 4], [0.5, 1.0, 1.0, 1.0, 0.5])
+
+
+def test_stencil_transpose_jittable():
+    """A^T in stencil storage is pure shifted slices (jittable) and
+    exactly matches the dense transpose, incl. periodic wrap and
+    nonsymmetric dof>1 blocks."""
+    import jax
+    from petiga_tpu.sparse.stencil import StencilMatrix
+
+    def form(pt, ctx):
+        beta = jnp.arange(1.0, pt.dim + 1.0)
+        K = pt.shape1 @ pt.shape1.T + jnp.outer(
+            pt.shape0, pt.shape1 @ beta
+        )
+        return K, pt.shape0
+
+    for per in [(False, False), (True, False)]:
+        sp = Space(
+            [Axis.uniform(p=2, nel=5, periodic=pp) for pp in per],
+            dtype=F64,
+        )
+        A, _ = assemble_system(sp, form, apply_fix=False)
+        AT_data = jax.jit(lambda A=A: A.transpose().data)()
+        DT = StencilMatrix(A.stencil, AT_data).to_dense()
+        np.testing.assert_allclose(DT, A.to_dense().T, atol=1e-13)

@@ -159,3 +159,24 @@ def test_explicit_rk3_heat():
     U = integrate(st, U0, 0.0, dt, 200)
     err = heat_exact_error(sp, U, 200 * dt)
     assert err < 2e-4, err
+
+
+def test_alpha_adaptive_device_matches_host():
+    """The one-while_loop on-device adaptive controller reproduces the
+    host controller (same WLTE, same basic controller) and reaches t_end
+    with the same accuracy — zero per-step host syncs."""
+    from petiga_tpu.solve.ts import integrate_adaptive_device
+
+    sp = make_heat_space(nel=16, p=2)
+    U0 = project_initial(sp, lambda x: jnp.sin(jnp.pi * x[0]))
+    T = 0.1
+    st = AlphaStepper(sp, heat_ifunction, rho_inf=0.5,
+                      newton_kw=dict(rtol=1e-12))
+    Uh, _, sh = integrate_adaptive(st, U0, 0.0, 1e-4, T,
+                                   rtol=1e-4, atol=1e-4)
+    Ud, _, sd = integrate_adaptive_device(st, U0, 0.0, 1e-4, T,
+                                          rtol=1e-4, atol=1e-4)
+    assert abs(sd.t - T) < 1e-10
+    assert sd.steps == sh.steps and sd.rejections == sh.rejections, (sd, sh)
+    np.testing.assert_allclose(np.asarray(Ud), np.asarray(Uh), atol=1e-10)
+    assert heat_exact_error(sp, Ud, T) < 2e-3, sd
