@@ -42,6 +42,7 @@ from .assembly.collocation import (
     assemble_collocation_jacobian,
 )
 from .assembly.point import Point
+from .assembly.tabulation import validate_geometry
 
 from .sparse.stencil import Stencil, StencilMatrix, stencil_apply
 from .sparse.pallas_spmv import PallasStencilOperator, pallas_matvec
@@ -64,14 +65,26 @@ from .solve.ts import (
     integrate_adaptive,
 )
 from .solve.blockpc import ebe_preconditioner, bbb_preconditioner
-from .solve.schwarz import schwarz_preconditioner
-from .solve.multigrid import MGHierarchy, mg_preconditioner
-from .solve.fieldsplit import field_split, fieldsplit_preconditioner
+from .solve.schwarz import (
+    schwarz_preconditioner,
+    schwarz_local_preconditioner,
+)
+from .solve.multigrid import (
+    MGHierarchy,
+    mg_preconditioner,
+    mg_local_preconditioner,
+)
+from .solve.fieldsplit import (
+    field_split,
+    fieldsplit_preconditioner,
+    fieldsplit_local_preconditioner,
+)
 
 from .parallel.dist import DistSpace, DistThetaStepper, DistAlphaStepper
 from .parallel.partition import factor_grid
 
 from .io.checkpoint import write_space, read_space, write_vec, read_vec
+from .io.sharded import save_sharded, load_sharded
 from .post.probe import Probe
 from .post.sample import sample_grid, write_vts
 
@@ -86,7 +99,7 @@ __all__ = [
     "assemble_function", "assemble_jacobian", "compute_scalar",
     "compute_error_norm", "stencil_of", "assemble_collocation",
     "assemble_collocation_function", "assemble_collocation_jacobian",
-    "Point",
+    "Point", "validate_geometry",
     # operators
     "Stencil", "StencilMatrix", "stencil_apply", "PallasStencilOperator",
     "pallas_matvec", "MatFreeOperator",
@@ -95,12 +108,15 @@ __all__ = [
     "block_jacobi_preconditioner", "newton", "NewtonResult",
     "ThetaStepper", "AlphaStepper", "Alpha2Stepper", "ExplicitStepper",
     "integrate", "integrate_adaptive", "ebe_preconditioner",
-    "bbb_preconditioner", "schwarz_preconditioner", "MGHierarchy",
-    "mg_preconditioner", "field_split", "fieldsplit_preconditioner",
+    "bbb_preconditioner", "schwarz_preconditioner",
+    "schwarz_local_preconditioner", "MGHierarchy",
+    "mg_preconditioner", "mg_local_preconditioner", "field_split",
+    "fieldsplit_preconditioner", "fieldsplit_local_preconditioner",
     # distributed
     "DistSpace", "DistThetaStepper", "DistAlphaStepper", "factor_grid",
     # io / post / utils
-    "write_space", "read_space", "write_vec", "read_vec", "Probe",
+    "write_space", "read_space", "write_vec", "read_vec",
+    "save_sharded", "load_sharded", "Probe",
     "sample_grid", "write_vts", "profiling",
 ]
 

@@ -35,6 +35,7 @@ __all__ = [
     "inverse_map",
     "push_forward",
     "tabulate_elements",
+    "validate_geometry",
     "det_small",
     "inv_small",
     "get_normal",
@@ -519,3 +520,36 @@ def tabulate_elements(
 
     return PointBlock(u=u, x=x, weight=weight, shape=tuple(S), detX=detX,
                       normal=normal, gmap1=gmap1, gmap2=gmap2)
+
+
+def validate_geometry(space, *, order: int = 1, chunk: int = 4096):
+    """Positive-Jacobian sanity guard — the reference's debug assert
+    "Negative determinant of Jacobian" (petigaelem.c:989-993), here an
+    explicit host-level check to run once after ``init_geometry`` (the
+    hot paths stay assert-free, matching the reference's release
+    builds).  Raises ``ValueError`` naming the offending elements when
+    ``det(∂x/∂u) <= 0`` at any interior quadrature point.
+    """
+    import numpy as np
+
+    if not space.has_geometry:
+        return  # identity map: detJ ≡ 1
+    if space.dim != space.nsd:
+        raise ValueError(
+            "validate_geometry requires dim == nsd (manifold metrics "
+            "are form-defined, petigaelem.c:960-963)"
+        )
+    bad = []
+    for start in range(0, space.nel, chunk):
+        ids = jnp.arange(start, min(start + chunk, space.nel))
+        pb = tabulate_elements(space, ids, order=order)
+        d = np.asarray(pb.detX)
+        rows = np.where((d <= 0.0).any(axis=1))[0]
+        bad.extend((start + rows).tolist())
+    if bad:
+        shown = ", ".join(map(str, bad[:20]))
+        more = f" (+{len(bad) - 20} more)" if len(bad) > 20 else ""
+        raise ValueError(
+            f"non-positive geometry Jacobian determinant in elements "
+            f"[{shown}]{more}"
+        )

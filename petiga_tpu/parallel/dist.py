@@ -774,7 +774,8 @@ class DistSpace:
         return shard(*args)
 
     def newton(self, function, U0, ctx=None, *, rtol=1e-8, maxit=20,
-               linear_rtol=1e-8, order=None, aux=None, boundary=None):
+               linear_rtol=1e-8, order=None, aux=None, boundary=None,
+               linear_solver="cg", pc="jacobi"):
         """Distributed Newton-Krylov (SNES analog over the device mesh,
         petigasnes.c:23-139) as ONE compiled program: residual assembly,
         AD Jacobian, halo-exchange CG and the Newton update all run in a
@@ -825,10 +826,16 @@ class DistSpace:
                 U, F, k = stt
                 return (n2(F) > tol2) & (k < maxit)
 
+            inner = {
+                "cg": self._cg_local,
+                "bicgstab": self._bicgstab_local,
+                "gmres": self._gmres_local,
+            }[linear_solver]
+
             def step(stt):
                 U, F, k = stt
                 data = J_of(U)
-                dx, _, _ = self._cg_local(data, F, rtol=linear_rtol)
+                dx, _, _ = inner(data, F, rtol=linear_rtol, pc=pc)
                 U = U - dx
                 return (U, F_of(U), k + 1)
 
@@ -941,8 +948,32 @@ class DistSpace:
             dvals != 0, 1.0 / jnp.where(dvals == 0, 1.0, dvals), 1.0
         )
 
+    def _pc_local(self, data_loc, pc):
+        """Per-device preconditioner application ``Mv(r)`` built inside
+        the shard_map region.  ``pc``: None/"none" (identity), "jacobi"
+        (point diagonal — PCJACOBI), "pbjacobi" (dof×dof diagonal blocks
+        — the BAIJ point-block PC natural for dof>1 systems), or a
+        callable ``(dist, data_loc) -> Mv`` for user preconditioners
+        (e.g. :func:`schwarz_local_preconditioner`)."""
+        if callable(pc):
+            return pc(self, data_loc)
+        if pc in (None, False, "none"):
+            return lambda r: r
+        if pc in (True, "jacobi"):
+            dinv = self._jacobi_inv(data_loc)
+            return lambda r: r * dinv
+        if pc == "pbjacobi":
+            D = data_loc[..., self.st.diag_slot, :, :]  # (L_rev..., dof, dof)
+            dof = self.space.dof
+            # padded / empty rows carry a zero block: substitute identity
+            singular = jnp.all(D == 0.0, axis=(-2, -1))
+            D = D + jnp.eye(dof, dtype=D.dtype) * singular[..., None, None]
+            Dinv = jnp.linalg.inv(D)
+            return lambda r: jnp.einsum("...ab,...b->...a", Dinv, r)
+        raise ValueError(f"unknown preconditioner {pc!r}")
+
     def _cg_local(self, data_loc, b_loc, *, rtol=1e-8, atol=0.0,
-                  maxiter=10000, jacobi=True):
+                  maxiter=10000, pc="jacobi"):
         """Per-device preconditioned CG body (inside shard_map): halos
         via ppermute (overlapped), reductions via psum."""
         sp = self.space
@@ -950,11 +981,7 @@ class DistSpace:
         st = self.st
         data_loc = data_loc.reshape(tuple(self.L[::-1]) + (st.K, dof, dof))
         b_loc = b_loc.reshape(tuple(self.L[::-1]) + (dof,))
-        if jacobi:
-            dinv = self._jacobi_inv(data_loc)
-            Mv = lambda r: r * dinv
-        else:
-            Mv = lambda r: r
+        Mv = self._pc_local(data_loc, pc)
         Av = lambda v: self.matvec_local(data_loc, v)
 
         def dot(a, c):
@@ -990,7 +1017,7 @@ class DistSpace:
         return x, k, res
 
     def _bicgstab_local(self, data_loc, b_loc, *, rtol=1e-8, atol=0.0,
-                        maxiter=10000, jacobi=True):
+                        maxiter=10000, pc="jacobi"):
         """Per-device preconditioned BiCGStab body (inside shard_map) —
         the nonsymmetric-solver counterpart of :meth:`_cg_local`
         (advection/SUPG, VMS Navier-Stokes operators)."""
@@ -1000,11 +1027,7 @@ class DistSpace:
         data_loc = data_loc.reshape(tuple(self.L[::-1]) + (st.K, dof, dof))
         b_loc = b_loc.reshape(tuple(self.L[::-1]) + (dof,))
         dt = b_loc.dtype
-        if jacobi:
-            dinv = self._jacobi_inv(data_loc)
-            Mv = lambda r: r * dinv
-        else:
-            Mv = lambda r: r
+        Mv = self._pc_local(data_loc, pc)
         Av = lambda v: self.matvec_local(data_loc, v)
 
         def dot(a, c):
@@ -1044,6 +1067,72 @@ class DistSpace:
         )
         return x, k, jnp.sqrt(dot(r, r))
 
+    def _gmres_local(self, data_loc, b_loc, *, rtol=1e-8, atol=0.0,
+                     restart=30, maxiter=200, pc="jacobi"):
+        """Per-device restarted GMRES(m) body (inside shard_map) with
+        left preconditioning.  The Krylov basis is stored shard-local
+        ((restart+1, n_loc) per device); every inner product is a psum
+        over the mesh, so the Hessenberg matrix H and the least-squares
+        solve are bitwise-replicated across devices — the same structure
+        PETSc's parallel KSPGMRES gets from MPI_Allreduce dots."""
+        sp = self.space
+        dof = sp.dof
+        st = self.st
+        data_loc = data_loc.reshape(tuple(self.L[::-1]) + (st.K, dof, dof))
+        b_loc = b_loc.reshape(tuple(self.L[::-1]) + (dof,))
+        dt = b_loc.dtype
+        shape = b_loc.shape
+        n = b_loc.size
+        Mv = self._pc_local(data_loc, pc)
+        Av = lambda v: self.matvec_local(data_loc, v)
+
+        def dot(a, c):
+            return self._psum_all(jnp.sum(a * c))
+
+        bnorm = jnp.sqrt(dot(b_loc, b_loc))
+        tol = jnp.maximum(rtol * bnorm, atol)
+
+        def arnoldi_cycle(x):
+            r = Mv(b_loc - Av(x)).reshape(-1)
+            beta = jnp.sqrt(dot(r, r))
+            V = jnp.zeros((restart + 1, n), dt)
+            H = jnp.zeros((restart + 1, restart), dt)
+            V = V.at[0].set(jnp.where(beta > 0, r / beta, 0))
+
+            def body(j, VH):
+                V, H = VH
+                w = Mv(Av(V[j].reshape(shape))).reshape(-1)
+
+                def mgs(i, wH):
+                    w, H = wH
+                    h = jnp.where(i <= j, dot(V[i], w), 0.0)
+                    H = H.at[i, j].set(h)
+                    return (w - h * V[i], H)
+
+                w, H = jax.lax.fori_loop(0, restart, mgs, (w, H))
+                hn = jnp.sqrt(dot(w, w))
+                H = H.at[j + 1, j].set(hn)
+                V = V.at[j + 1].set(jnp.where(hn > 1e-30, w / hn, 0))
+                return (V, H)
+
+            V, H = jax.lax.fori_loop(0, restart, body, (V, H))
+            e1 = jnp.zeros(restart + 1, dt).at[0].set(beta)
+            y, *_ = jnp.linalg.lstsq(H, e1)
+            return x + (y @ V[:restart]).reshape(shape)
+
+        def cond(stt):
+            x, k = stt
+            r = b_loc - Av(x)
+            return (jnp.sqrt(dot(r, r)) > tol) & (k < maxiter)
+
+        def step(stt):
+            x, k = stt
+            return (arnoldi_cycle(x), k + 1)
+
+        x, k = jax.lax.while_loop(cond, step, (jnp.zeros_like(b_loc), 0))
+        r = b_loc - Av(x)
+        return x, k * restart, jnp.sqrt(dot(r, r))
+
     def _krylov(self, body, data, b):
         shard = jax.shard_map(
             body,
@@ -1055,24 +1144,41 @@ class DistSpace:
         return shard(data, b)
 
     def cg(self, data, b, *, rtol=1e-8, atol=0.0, maxiter=10000,
-           jacobi=True):
+           jacobi=True, pc=None):
         """Distributed preconditioned CG: one shard_map region, halos via
         overlapped ppermute, reductions via psum.  Returns
-        (x, iters, residual) as (padded sharded grid, scalar, scalar)."""
+        (x, iters, residual) as (padded sharded grid, scalar, scalar).
+        ``pc`` overrides the legacy ``jacobi`` flag — see
+        :meth:`_pc_local` for the options."""
+        pc = ("jacobi" if jacobi else "none") if pc is None else pc
         return self._krylov(
             lambda d, v: self._cg_local(
-                d, v, rtol=rtol, atol=atol, maxiter=maxiter, jacobi=jacobi
+                d, v, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc
             ),
             data, b,
         )
 
     def bicgstab(self, data, b, *, rtol=1e-8, atol=0.0, maxiter=10000,
-                 jacobi=True):
+                 jacobi=True, pc=None):
         """Distributed preconditioned BiCGStab (nonsymmetric operators);
         same layout contract as :meth:`cg`."""
+        pc = ("jacobi" if jacobi else "none") if pc is None else pc
         return self._krylov(
             lambda d, v: self._bicgstab_local(
-                d, v, rtol=rtol, atol=atol, maxiter=maxiter, jacobi=jacobi
+                d, v, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc
+            ),
+            data, b,
+        )
+
+    def gmres(self, data, b, *, rtol=1e-8, atol=0.0, restart=30,
+              maxiter=200, pc="jacobi"):
+        """Distributed restarted GMRES(m) — the general nonsymmetric
+        solver (the parallel KSPGMRES the reference gets from PETSc,
+        petigaksp.c:260-384); same layout contract as :meth:`cg`."""
+        return self._krylov(
+            lambda d, v: self._gmres_local(
+                d, v, rtol=rtol, atol=atol, restart=restart,
+                maxiter=maxiter, pc=pc
             ),
             data, b,
         )
@@ -1162,13 +1268,15 @@ class DistSpace:
     # ------------------------------------------------------------ high level
 
     def solve_system(self, system, ctx=None, *, rtol=1e-8, order=None,
-                     maxiter=10000, boundary=None, solver="cg"):
+                     maxiter=10000, boundary=None, solver="cg", pc=None):
         """Assemble + Krylov solve in one call; returns the flat
         (nnodes, dof) solution (gathered/cropped) plus info."""
         data, b = self.assemble_system(system, ctx, order=order,
                                        boundary=boundary)
-        solve = self.cg if solver == "cg" else self.bicgstab
-        x, k, res = solve(data, b, rtol=rtol, maxiter=maxiter)
+        solve = {"cg": self.cg, "bicgstab": self.bicgstab,
+                 "gmres": self.gmres}[solver]
+        kw = {} if pc is None else {"pc": pc}
+        x, k, res = solve(data, b, rtol=rtol, maxiter=maxiter, **kw)
         return self.crop_flat(x), {"iters": int(k), "residual": float(res)}
 
 

@@ -32,6 +32,7 @@ from .krylov import jacobi_preconditioner
 __all__ = [
     "field_split",
     "fieldsplit_preconditioner",
+    "fieldsplit_local_preconditioner",
 ]
 
 
@@ -160,3 +161,121 @@ def fieldsplit_preconditioner(
         return M
 
     raise ValueError("kind must be 'additive' or 'multiplicative'")
+
+
+def fieldsplit_local_preconditioner(
+    groups: Optional[Sequence] = None,
+    kind: str = "additive",
+    inner: str = "jacobi",
+    inner_iters: int = 5,
+):
+    """Field-split preconditioning under domain decomposition — the
+    parallel ``-pc_type fieldsplit`` role (petigadm.c:294-383 hands
+    PETSc the per-field index sets; under MPI the sub-solves run on the
+    distributed sub-matrices).
+
+    Returns a ``pc`` callable for ``DistSpace.cg/bicgstab/gmres``'s
+    ``pc=`` argument.  Field(-group) sub-blocks are strided slices of
+    the distributed stencil storage; the halo-exchange ``matvec_local``
+    is dof-agnostic, so each sub-block keeps full distributed semantics.
+
+    ``inner``: "jacobi" (stationary — safe inside CG) or "cg" (a fixed
+    ``inner_iters``-step Jacobi-PCG sub-solve per application; the PC
+    then varies between outer iterations, so pair it with
+    ``DistSpace.gmres`` — the same caveat PETSc's fieldsplit+inner-KSP
+    carries for non-flexible outer solvers).  ``kind`` as in
+    :func:`fieldsplit_preconditioner`.
+    """
+    import jax
+
+    if inner not in ("jacobi", "cg"):
+        raise ValueError("inner must be 'jacobi' or 'cg'")
+
+    def pc(ds, data_loc):
+        dof = ds.space.dof
+        gs = (
+            [(f,) for f in range(dof)]
+            if groups is None
+            else [tuple(g) for g in groups]
+        )
+        diag_slot = ds.st.diag_slot
+
+        def sub(gi, gj):
+            ai = jnp.asarray(gi)
+            aj = jnp.asarray(gj)
+            return data_loc[..., ai, :][..., aj]
+
+        def dot(a, c):
+            return ds._psum_all(jnp.sum(a * c))
+
+        def make_inner(dsub):
+            dv = jnp.diagonal(
+                dsub[..., diag_slot, :, :], axis1=-2, axis2=-1
+            )
+            dinv = jnp.where(dv != 0, 1.0 / jnp.where(dv == 0, 1.0, dv), 1.0)
+            if inner == "jacobi":
+                return lambda r: r * dinv
+
+            def Msub(r):
+                Av = lambda v: ds.matvec_local(dsub, v)
+                x = jnp.zeros_like(r)
+                z = r * dinv
+                p_ = z
+                rz = dot(r, z)
+
+                def body(i, st):
+                    x, rr, p_, rz = st
+                    Ap = Av(p_)
+                    pAp = dot(p_, Ap)
+                    alpha = jnp.where(
+                        pAp > 0, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0
+                    )
+                    x = x + alpha * p_
+                    rr = rr - alpha * Ap
+                    z = rr * dinv
+                    rznew = dot(rr, z)
+                    beta = jnp.where(
+                        rz > 0, rznew / jnp.where(rz == 0, 1.0, rz), 0.0
+                    )
+                    return (x, rr, z + beta * p_, rznew)
+
+                x, *_ = jax.lax.fori_loop(
+                    0, inner_iters, body, (x, r, p_, rz)
+                )
+                return x
+
+            return Msub
+
+        inners = [make_inner(sub(g, g)) for g in gs]
+
+        if kind == "additive":
+
+            def M(r):
+                z = jnp.zeros_like(r)
+                for g, Mg in zip(gs, inners):
+                    ai = jnp.asarray(g)
+                    z = z.at[..., ai].set(Mg(r[..., ai]))
+                return z
+
+            return M
+
+        if kind == "multiplicative":
+
+            def M(r):
+                z = jnp.zeros_like(r)
+                for i, (g, Mg) in enumerate(zip(gs, inners)):
+                    ai = jnp.asarray(g)
+                    ri = r[..., ai]
+                    for j in range(i):
+                        gj = gs[j]
+                        ri = ri - ds.matvec_local(
+                            sub(g, gj), z[..., jnp.asarray(gj)]
+                        )
+                    z = z.at[..., ai].set(Mg(ri))
+                return z
+
+            return M
+
+        raise ValueError("kind must be 'additive' or 'multiplicative'")
+
+    return pc

@@ -78,8 +78,6 @@ def cg(
     KSP test.  Runs entirely in a ``lax.while_loop``.
     """
     profiling.count("KSPSolve")
-    profiling.count("KSPSolve")
-    profiling.count("KSPSolve")
     matvec = _as_matvec(A)
     Mv = M if M is not None else (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0

@@ -19,7 +19,13 @@ import jax.numpy as jnp
 from ..core.axis import Axis
 from ..core.space import Space
 
-__all__ = ["knot_insertion_matrix", "prolongation_1d", "MGHierarchy", "mg_preconditioner"]
+__all__ = [
+    "knot_insertion_matrix",
+    "prolongation_1d",
+    "MGHierarchy",
+    "mg_preconditioner",
+    "mg_local_preconditioner",
+]
 
 
 def knot_insertion_matrix(p: int, U_coarse: np.ndarray, U_fine: np.ndarray) -> np.ndarray:
@@ -233,3 +239,130 @@ def mg_preconditioner(
         return out.reshape(shape)
 
     return M
+
+
+def mg_local_preconditioner(
+    assemble: Callable,
+    *,
+    levels: Optional[int] = None,
+    nsmooth: int = 2,
+    omega: float = 0.6,
+    min_nel: int = 4,
+    coarse_rtol: float = 1e-8,
+    coarse_maxiter: int = 200,
+):
+    """Multigrid under domain decomposition — the role PCMG plays when
+    the reference runs parallel (petigapcmg.c + PETSc's distributed MG).
+
+    Returns a ``pc`` callable for ``DistSpace.cg/bicgstab/gmres``'s
+    ``pc=`` argument.  The finest level is smoothed *distributed*
+    (weighted Jacobi through the halo-exchange ``matvec_local``); the
+    residual is restricted straight to the coarse hierarchy by the
+    exact knot-insertion transfer, evaluated as per-device partial
+    tensor contractions ``psum``-reduced into a *replicated* coarse
+    vector (coarse grids are orders of magnitude smaller than the fine
+    grid, so replicated coarse work is the standard parallel-MG
+    agglomeration endgame — every rank of a PETSc PCMG run does the
+    same on its coarsest level).  The coarse problem is solved by CG
+    preconditioned with the serial V-cycle over the remaining levels,
+    then prolonged back into the device blocks.
+
+    ``assemble(space) -> StencilMatrix`` builds the coarse operators
+    (Galerkin-by-reassembly, as in :meth:`MGHierarchy.build`).
+    """
+    from .krylov import cg as serial_cg
+
+    def pc(ds, data_loc):
+        sp = ds.space
+        dim = sp.dim
+        dof = sp.dof
+        dt = sp.dtype
+        L = tuple(int(l) for l in ds.L)
+        names = ds.names
+
+        # hierarchy below the finest level (the finest operator already
+        # lives distributed in data_loc — skip its serial assembly)
+        sentinel = object()
+        hier = MGHierarchy.build(
+            sp,
+            lambda s: sentinel if s is sp else assemble(s),
+            levels=levels,
+            min_nel=min_nel,
+        )
+        if len(hier.spaces) < 2:
+            raise ValueError("grid too coarse for a multigrid hierarchy")
+        sub = MGHierarchy(
+            hier.spaces[:-1], hier.operators[:-1], hier.prolongs[:-1]
+        )
+        Ac = sub.operators[-1]
+        if len(sub.spaces) > 1:
+            coarse_M = mg_preconditioner(sub, nsmooth=nsmooth, omega=omega)
+        else:
+            from .krylov import jacobi_preconditioner
+
+            coarse_M = jacobi_preconditioner(Ac)
+        cs = sub.spaces[-1]
+        Nc = cs.node_shape
+
+        # finest-level transfer, padded to the device grid: P rows past
+        # the real node range are zero (padding stays decoupled).  Built
+        # in pure numpy (prolongation_1d) — this code runs inside a
+        # trace, so hier.prolongs are staged tracers, not constants.
+        P_pad = []
+        for d in range(dim):
+            P = prolongation_1d(cs.axes[d], sp.axes[d])
+            Pp = np.zeros((ds.Np[d], Nc[d]))
+            Pp[: P.shape[0]] = P
+            P_pad.append(jnp.asarray(Pp, dt))
+
+        diag_slot = ds.st.diag_slot
+        dvals = jnp.diagonal(
+            data_loc[..., diag_slot, :, :], axis1=-2, axis2=-1
+        )
+        dinv = jnp.where(dvals != 0, 1.0 / jnp.where(dvals == 0, 1.0, dvals), 1.0)
+        Av = lambda v: ds.matvec_local(data_loc, v)
+
+        def P_loc(d):
+            start = jax.lax.axis_index(names[d]) * L[d]
+            zero = jnp.zeros((), start.dtype)
+            return jax.lax.dynamic_slice(
+                P_pad[d], (start, zero), (L[d], Nc[d])
+            )
+
+        def restrict(r_loc):
+            """(L_rev..., dof) -> replicated coarse (Nc_rev..., dof)."""
+            out = r_loc
+            for d in range(dim):
+                gax = dim - 1 - d
+                out = jnp.tensordot(P_loc(d).T, out, axes=([1], [gax]))
+                out = jnp.moveaxis(out, 0, gax)
+            return jax.lax.psum(out, tuple(names))
+
+        def prolong(xc):
+            """Replicated coarse grid -> local fine block."""
+            out = xc
+            for d in range(dim):
+                gax = dim - 1 - d
+                out = jnp.tensordot(P_loc(d), out, axes=([1], [gax]))
+                out = jnp.moveaxis(out, 0, gax)
+            return out
+
+        def smooth(x, b):
+            for _ in range(nsmooth):
+                x = x + omega * dinv * (b - Av(x))
+            return x
+
+        def M(r_loc):
+            x = smooth(jnp.zeros_like(r_loc), r_loc)
+            rc = restrict(r_loc - Av(x))  # (Nc_rev..., dof) replicated
+            res = serial_cg(
+                Ac, rc.reshape(-1, dof), M=coarse_M,
+                rtol=coarse_rtol, maxiter=coarse_maxiter,
+            )
+            xc = res.x.reshape(tuple(Nc[::-1]) + (dof,))
+            x = x + prolong(xc)
+            return smooth(x, r_loc)
+
+        return M
+
+    return pc

@@ -44,6 +44,7 @@ def newton(
     order: Optional[int] = None,
     chunk: Optional[int] = None,
     damping: float = 1.0,
+    operator: str = "stencil",
 ) -> NewtonResult:
     """Solve F(U) = 0 by Newton's method with an inner Krylov solve.
 
@@ -51,6 +52,11 @@ def newton(
     the Jacobian defaults to forward-mode AD of the element residual.
     Dirichlet dofs are driven to their boundary values through the
     fix-value residual semantics (petigaelem.c:1441-1481).
+
+    ``operator="fast"`` routes every inner matvec through the Pallas
+    stencil kernel (``StencilMatrix.fast_operator``) — the preferred
+    setting on TPU; it falls back to the XLA path automatically when the
+    layout is unsupported.
     """
     from ..utils import profiling
 
@@ -58,7 +64,11 @@ def newton(
     dof = space.dof
     shape = (space.nnodes, dof)
     U0 = U0.reshape(shape)
-    solver = {"cg": cg, "bicgstab": bicgstab}[linear_solver]
+    from .krylov import gmres
+
+    solver = {"cg": cg, "bicgstab": bicgstab, "gmres": gmres}[linear_solver]
+    if operator not in ("stencil", "fast"):
+        raise ValueError(f"unknown operator {operator!r}")
 
     def resid(U):
         return assemble_function(
@@ -84,6 +94,8 @@ def newton(
         U, F, fnorm, k = st
         A = jac(U)
         M = jacobi_preconditioner(A)
+        if operator == "fast":
+            A = A.fast_operator()
         res = solver(A, F, M=M, rtol=linear_rtol)
         U = U - damping * res.x.reshape(shape)
         F = resid(U)

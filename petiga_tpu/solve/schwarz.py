@@ -43,9 +43,14 @@ owned boxes (RAS) — nonsymmetric, pair with BiCGStab/GMRES.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-__all__ = ["schwarz_preconditioner", "subdomain_boxes"]
+__all__ = [
+    "schwarz_preconditioner",
+    "schwarz_local_preconditioner",
+    "subdomain_boxes",
+]
 
 
 def subdomain_boxes(N, nsub):
@@ -196,3 +201,219 @@ def schwarz_preconditioner(
         return z.reshape(shape)
 
     return M
+
+
+def schwarz_local_preconditioner(
+    *,
+    subdomains=None,
+    overlap=None,
+    coarse: bool = True,
+    restricted: bool = False,
+):
+    """Distributed two-level Schwarz — the serial PC above applied
+    *inside* the device-mesh Krylov loops (the role PCBDDC plays under
+    MPI in the reference, petigapcbddc.c + petigaksp.c:260-384).
+
+    Returns a ``pc`` callable for ``DistSpace.cg/bicgstab/gmres``'s
+    ``pc=`` argument (signature ``(ds, data_loc) -> Mv``, evaluated
+    inside the shard_map region).  Per device: the *owned* block is
+    split into subdomain boxes extended by ``overlap`` layers (capped at
+    the stencil width so every needed row is in the p-wide halo shell
+    the layer already exchanges); the dense subdomain operators are
+    extracted from the halo-gathered stencil rows and batch-inverted on
+    the MXU.  Overlap regions crossing device boundaries are handled by
+    the forward halo (residual gather) and the reverse halo fold
+    (solution scatter) — no extra communication primitives.
+
+    The coarse space is one constant per (device, box, field) on the
+    disjoint owned boxes — the global analog of the reference's minimal
+    near-null-space vectors (petigapcbddc.c:310-460).  The coarse
+    operator ``A0 = R0 A R0^T`` is assembled algebraically from the
+    local stencil rows (each entry's column box is computed from the
+    slot offset) and ``psum``-reduced, so it is bitwise-replicated on
+    every device; application is the symmetric balancing form.
+    """
+
+    def pc(ds, data_loc):
+        sp = ds.space
+        st = ds.st
+        dim, dof = st.dim, st.dof
+        p = tuple(int(w) for w in st.widths)
+        L = tuple(int(l) for l in ds.L)
+        m = tuple(int(g) for g in ds.pgrid)
+        names = ds.names
+        K = st.K
+
+        ov = tuple(
+            min(p[d], p[d] if overlap is None else int(overlap))
+            for d in range(dim)
+        )
+        nsub = (
+            tuple(max(1, L[d] // 8) for d in range(dim))
+            if subdomains is None
+            else tuple(int(s) for s in subdomains)
+        )
+        starts, sizes = subdomain_boxes(L, nsub)
+        nsub_loc = int(np.prod(nsub))
+        ndev = int(np.prod(m))
+        ext = tuple(int(sizes[d].max()) + 2 * ov[d] for d in range(dim))
+        nb = int(np.prod(ext))
+        Lext = tuple(L[d] + 2 * p[d] for d in range(dim))
+        next_ = int(np.prod(Lext))
+
+        # ---- static tables (identical on every device: equal padded blocks)
+        grids = np.meshgrid(*[np.arange(e) for e in ext], indexing="ij")
+        local = np.stack([g.ravel(order="F") for g in grids], axis=-1)
+        sub_multi = np.unravel_index(np.arange(nsub_loc), nsub, order="F")
+
+        idx = np.zeros((nsub_loc, nb), np.int64)
+        valid = np.ones((nsub_loc, nb), bool)
+        owned = np.ones((nsub_loc, nb), bool)
+        stride = 1
+        for d in range(dim):
+            # extended-block coord of box entry: p - ov + start + local
+            base = p[d] - ov[d] + starts[d][sub_multi[d]]
+            sz = sizes[d][sub_multi[d]]
+            j = base[:, None] + local[None, :, d]
+            valid &= local[None, :, d] < (sz[:, None] + 2 * ov[d])
+            owned &= (local[None, :, d] >= ov[d]) & (
+                local[None, :, d] < sz[:, None] + ov[d]
+            )
+            idx += j * stride
+            stride *= Lext[d]
+        owned &= valid
+
+        soffs = st.slot_offsets()
+        slot_of = {tuple(soffs[s]): s for s in range(K)}
+        off = local[None, :, :] - local[:, None, :]
+        pair_ok = np.all(np.abs(off) <= np.asarray(p), axis=-1)
+        pairs = np.zeros((nb, nb), np.int64)
+        ii, jj = np.nonzero(pair_ok)
+        pairs[ii, jj] = [slot_of[tuple(o)] for o in off[ii, jj]]
+
+        idx_j = jnp.asarray(idx)
+        valid_j = jnp.asarray(valid)
+        scatter_j = jnp.asarray(owned if restricted else valid)
+        pairs_j = jnp.asarray(pairs)
+        pair_ok_j = jnp.asarray(pair_ok)
+
+        # ---- dense subdomain operators from halo-gathered stencil rows
+        dataK = data_loc.reshape(
+            tuple(L[::-1]) + (K * dof * dof,)
+        )
+        data_ext = ds.halo_gather(dataK).reshape(next_, K, dof, dof)
+        Bk = data_ext[idx_j[:, :, None], pairs_j[None, :, :]]
+        mask = valid_j[:, :, None] & valid_j[:, None, :] & pair_ok_j[None]
+        Bk = jnp.where(mask[..., None, None], Bk, 0.0)
+        B = Bk.transpose(0, 1, 3, 2, 4).reshape(
+            nsub_loc, nb * dof, nb * dof
+        )
+        # identity on dead rows (mask, padding, open-boundary shell)
+        dead = jnp.sum(jnp.abs(B), axis=2) == 0.0
+        B = B + jnp.eye(nb * dof, dtype=B.dtype) * dead[:, :, None]
+        Binv = jnp.linalg.inv(B)
+
+        Av = lambda v: ds.matvec_local(data_loc, v)
+
+        def local_solves(r_loc):
+            r_ext = ds.halo_gather(r_loc).reshape(next_, dof)
+            re = r_ext[idx_j]
+            re = jnp.where(valid_j[..., None], re, 0.0).reshape(
+                nsub_loc, nb * dof
+            )
+            ze = jnp.einsum("sij,sj->si", Binv, re).reshape(
+                nsub_loc, nb, dof
+            )
+            ze = jnp.where(scatter_j[..., None], ze, 0.0)
+            zext = (
+                jnp.zeros((next_, dof), r_loc.dtype)
+                .at[idx_j.reshape(-1)]
+                .add(ze.reshape(-1, dof))
+            )
+            return ds.halo_fold(zext.reshape(tuple(Lext[::-1]) + (dof,)))
+
+        if not coarse:
+            return local_solves
+
+        # ---- coarse level: constants on the disjoint owned boxes
+        nc = ndev * nsub_loc * dof
+        nloc = int(np.prod(L))
+        # per-axis box-id lookup over owned coords, and local coords
+        boxtab = [
+            np.searchsorted(starts[d], np.arange(L[d]), side="right") - 1
+            for d in range(dim)
+        ]
+        lgrids = np.meshgrid(*[np.arange(l) for l in L], indexing="ij")
+        lc = np.stack([g.ravel(order="F") for g in lgrids], axis=-1)
+        row_box = np.zeros(nloc, np.int64)
+        for d in range(dim - 1, -1, -1):
+            row_box = row_box * nsub[d] + boxtab[d][lc[:, d]]
+        row_box_j = jnp.asarray(row_box)
+        lc_j = jnp.asarray(lc)
+        boxtab_j = [jnp.asarray(b) for b in boxtab]
+        soffs_j = jnp.asarray(soffs)
+
+        dev_flat = jnp.asarray(0)
+        origin = []
+        for d in range(dim - 1, -1, -1):
+            ci = jax.lax.axis_index(names[d])
+            dev_flat = dev_flat * m[d] + ci
+        for d in range(dim):
+            origin.append(jax.lax.axis_index(names[d]) * L[d])
+
+        row_cid = dev_flat * nsub_loc + row_box_j  # (nloc,)
+
+        # column coarse ids per (node, slot)
+        cdev_flat = jnp.zeros((nloc, K), jnp.int64)
+        cbox_flat = jnp.zeros((nloc, K), jnp.int64)
+        for d in range(dim - 1, -1, -1):
+            g = origin[d] + lc_j[:, d:d + 1] + soffs_j[None, :, d]
+            if sp.periodic[d]:
+                g = jnp.mod(g, sp.node_shape[d])
+            else:
+                g = jnp.clip(g, 0, L[d] * m[d] - 1)
+            cdev = g // L[d]
+            clocal = g - cdev * L[d]
+            cdev_flat = cdev_flat * m[d] + cdev
+            cbox_flat = cbox_flat * nsub[d] + boxtab_j[d][clocal]
+        col_cid = cdev_flat * nsub_loc + cbox_flat  # (nloc, K)
+
+        vals = data_loc.reshape(nloc, K, dof, dof)
+        I2 = (row_cid[:, None, None, None] * dof
+              + jnp.arange(dof)[None, None, :, None])
+        J2 = (col_cid[:, :, None, None] * dof
+              + jnp.arange(dof)[None, None, None, :])
+        A0 = (
+            jnp.zeros((nc, nc), vals.dtype)
+            .at[
+                jnp.broadcast_to(I2, vals.shape).reshape(-1),
+                jnp.broadcast_to(J2, vals.shape).reshape(-1),
+            ]
+            .add(vals.reshape(-1))
+        )
+        A0 = jax.lax.psum(A0, tuple(names))
+        dead0 = jnp.diagonal(A0) == 0.0
+        A0 = A0 + jnp.eye(nc, dtype=A0.dtype) * dead0[None, :] * dead0[:, None]
+        A0inv = jnp.linalg.inv(A0)
+
+        rows_dof = (row_cid[:, None] * dof + jnp.arange(dof)[None, :])
+
+        def coarse_solve(r_loc):
+            rv = r_loc.reshape(nloc, dof)
+            rc = (
+                jnp.zeros((nc,), rv.dtype)
+                .at[rows_dof.reshape(-1)]
+                .add(rv.reshape(-1))
+            )
+            rc = jax.lax.psum(rc, tuple(names))
+            z0 = A0inv @ rc
+            return z0[rows_dof].reshape(r_loc.shape)
+
+        def M(r_loc):
+            z1 = coarse_solve(r_loc)
+            z2 = z1 + local_solves(r_loc - Av(z1))
+            return z2 + coarse_solve(r_loc - Av(z2))
+
+        return M
+
+    return pc

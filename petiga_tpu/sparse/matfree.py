@@ -40,14 +40,23 @@ class MatFreeOperator:
     is one sum-factorized pass per NONZERO block).  Dirichlet rows/cols
     follow the assembled semantics (eliminated, diagonal = element
     multiplicity).
+
+    Supported spaces: any *regular* space — maximal or reduced
+    continuity (element steps > 1 become strided slice gathers), open or
+    periodic axes, and non-rational mapped geometry (pointwise metric
+    precomputed at quadrature points; see ``__init__``).  Rational
+    (NURBS) weights and manifold embeddings (nsd != dim) fall back to
+    the assembled operator.  ``scalar_diagonal`` is exact for the
+    identity map and a spectrally-equivalent estimate under mapping
+    (fine for Jacobi preconditioning).
     """
 
     def __init__(self, space, c=0.0, kappa=1.0, C=None, Kmat=None):
         if not is_regular(space):
             raise ValueError("matrix-free apply requires a regular space")
-        if any(_steps(space)[d] != 1 for d in range(space.dim)):
-            raise ValueError("maximal continuity only (step 1 offsets)")
         self.space = space
+        self.steps = _steps(space)
+        self.off0 = tuple(int(t.offset[0]) for t in space.tabs)
         dof = space.dof
         self.C = np.asarray(
             C if C is not None else np.eye(dof) * c, np.float64
@@ -74,34 +83,73 @@ class MatFreeOperator:
         np.add.at(mult, sp.mapping.ravel(), 1.0)
         self.mult = jnp.asarray(mult, dt)
 
+        # mapped geometry: pointwise metric G = J^{-1} J^{-T} detJ and
+        # detJ at every quadrature point (computed once by the same
+        # sum-factorized pipeline; the per-axis tables stay separable,
+        # only these pointwise factors are dense) — covers the
+        # reference's mapped-domain operators (petigarat/petigatabs
+        # pushforward) without assembling.
+        self._G = None
+        self._detJ = None
+        if sp.has_geometry:
+            if sp.is_rational:
+                raise ValueError(
+                    "rational (NURBS) geometry is not supported "
+                    "matrix-free; use the assembled stencil operator"
+                )
+            if sp.nsd != dim:
+                raise ValueError(
+                    "matrix-free geometry requires nsd == dim "
+                    "(no manifold embedding)"
+                )
+            X = jnp.asarray(sp.geometry, dt)  # (nnodes, dim)
+            N = sp.node_shape
+            Jcols = []
+            for dpar in range(dim):
+                tabs = [
+                    self.B1[d] if d == dpar else self.B0[d]
+                    for d in range(dim)
+                ]
+                rows = []
+                for i in range(dim):
+                    xe = self._gather(X[:, i].reshape(tuple(N[::-1])))
+                    rows.append(self._contract(xe, tabs))
+                Jcols.append(jnp.stack(rows, axis=-1))  # (..., i)
+            J = jnp.stack(Jcols, axis=-1)  # (E_rev..., q_rev..., i, dpar)
+            detJ = jnp.linalg.det(J)
+            Jinv = jnp.linalg.inv(J)
+            self._detJ = detJ
+            self._G = (
+                jnp.einsum("...ik,...jk->...ij", Jinv, Jinv)
+                * detJ[..., None, None]
+            )
+
     # ------------------------------------------------------------ gather
 
     def _gather(self, xg):
-        """Element closures from the node grid by shifted slices:
-        out[(e_rev...), (a_rev...)] = x[e + a]."""
+        """Element closures from the node grid by (strided) shifted
+        slices: out[(e_rev...), (a_rev...)] = x[off0 + s*e + a] — the
+        arithmetic-progression offset structure of any regular axis
+        (step s > 1 = repeated interior knots / reduced continuity)."""
         sp = self.space
         dim = sp.dim
         E = sp.elem_shape
         nsh = sp.nen_shape
         parts = []
         for amulti in np.ndindex(*nsh[::-1]):  # reversed order (a_z, a_y, a_x)
-            sl = []
+            block = xg
             for g in range(dim):
                 d = dim - 1 - g
                 a_d = amulti[g]
                 if sp.periodic[d]:
-                    sl.append(None)  # handled by roll
-                else:
-                    sl.append(slice(a_d, a_d + E[d]))
-            block = xg
-            for g in range(dim):
-                d = dim - 1 - g
-                if sp.periodic[d]:
-                    block = jnp.roll(block, -amulti[g], axis=g)
+                    block = jnp.roll(block, -a_d, axis=g)
                     block = jax.lax.slice_in_dim(block, 0, E[d], axis=g)
                 else:
+                    s = self.steps[d]
+                    start = self.off0[d] + a_d
                     block = jax.lax.slice_in_dim(
-                        block, amulti[g], amulti[g] + E[d], axis=g
+                        block, start, start + s * (E[d] - 1) + 1,
+                        stride=s, axis=g,
                     )
             parts.append(block)
         out = jnp.stack(parts, axis=-1)  # (E_rev..., nen) a-rev-flat
@@ -114,22 +162,37 @@ class MatFreeOperator:
         E = sp.elem_shape
         N = sp.node_shape
         nsh = sp.nen_shape
+        unit = all(s == 1 for s in self.steps)
         yg = jnp.zeros(tuple(N[::-1]), ye.dtype)
-        idx = 0
         for amulti in np.ndindex(*nsh[::-1]):
             block = ye[(Ellipsis,) + tuple(amulti)]
-            g2 = block
-            for g in range(dim):
-                d = dim - 1 - g
-                a_d = amulti[g]
-                if sp.periodic[d]:
-                    # place at (e + a) mod N: pad to N then roll
-                    g2 = jnp.roll(g2, a_d, axis=g) if E[d] == N[d] else g2
-                else:
-                    pad = [(0, 0)] * g2.ndim
-                    pad[g] = (a_d, N[d] - E[d] - a_d)
-                    g2 = jnp.pad(g2, pad)
-            yg = yg + g2
+            if unit and all(self.off0[d] == 0 for d in range(dim)):
+                g2 = block
+                for g in range(dim):
+                    d = dim - 1 - g
+                    a_d = amulti[g]
+                    if sp.periodic[d]:
+                        g2 = jnp.roll(g2, a_d, axis=g) if E[d] == N[d] else g2
+                    else:
+                        pad = [(0, 0)] * g2.ndim
+                        pad[g] = (a_d, N[d] - E[d] - a_d)
+                        g2 = jnp.pad(g2, pad)
+                yg = yg + g2
+            else:
+                sl = []
+                for g in range(dim):
+                    d = dim - 1 - g
+                    a_d = amulti[g]
+                    if sp.periodic[d]:  # step-1 wrap (is_regular invariant)
+                        block = jnp.roll(block, a_d, axis=g)
+                        sl.append(slice(0, N[d], 1))
+                    else:
+                        s = self.steps[d]
+                        start = self.off0[d] + a_d
+                        sl.append(
+                            slice(start, start + s * (E[d] - 1) + 1, s)
+                        )
+                yg = yg.at[tuple(sl)].add(block)
         return yg
 
     # ------------------------------------------------------------- apply
@@ -160,6 +223,48 @@ class MatFreeOperator:
         y = jnp.where(self.fixed, self.mult[:, None] * xv, y)
         return y.reshape(-1) if flat_in else y
 
+    # forward sum factorization: contract each local axis with its
+    # per-element 1-D table → values/derivatives at quad points.
+    # Explicit einsums keep the layout (E_rev..., q_rev...) unambiguous.
+
+    def _labels(self):
+        dim = self.space.dim
+        return "ZYX"[3 - dim:], "zyx"[3 - dim:], "wvu"[3 - dim:]
+
+    def _contract(self, xe, tabs):
+        """(E_rev..., a_rev...) closures -> (E_rev..., q_rev...) point
+        values for per-axis tables ``tabs``."""
+        dim = self.space.dim
+        E_LBL, A_LBL, Q_LBL = self._labels()
+        out = xe
+        cur = list(A_LBL)
+        for g in range(dim - 1, -1, -1):  # contract x first
+            d = dim - 1 - g
+            T = tabs[d]  # (E_d, Q_d, p_d+1)
+            lhs = f"{E_LBL[g]}{Q_LBL[g]}{A_LBL[g]}"
+            src = E_LBL + "".join(cur)
+            cur[g] = Q_LBL[g]
+            dst = E_LBL + "".join(cur)
+            out = jnp.einsum(f"{lhs},{src}->{dst}", T, out)
+        return out
+
+    def _contract_T(self, z, tabs):
+        """Transpose of :meth:`_contract`: point values back to
+        closures."""
+        dim = self.space.dim
+        E_LBL, A_LBL, Q_LBL = self._labels()
+        out = z
+        cur = list(Q_LBL)
+        for g in range(dim - 1, -1, -1):
+            d = dim - 1 - g
+            T = tabs[d]
+            lhs = f"{E_LBL[g]}{Q_LBL[g]}{A_LBL[g]}"
+            src = E_LBL + "".join(cur)
+            cur[g] = A_LBL[g]
+            dst = E_LBL + "".join(cur)
+            out = jnp.einsum(f"{lhs},{src}->{dst}", T, out)
+        return out
+
     def _apply_field(self, xg, c, kappa):
         """Sum-factorized apply of one scalar field pair; returns flat
         (nnodes,)."""
@@ -168,77 +273,50 @@ class MatFreeOperator:
 
         xe = self._gather(xg)  # (E_rev..., a_z, a_y, a_x)
 
-        # forward sum factorization: contract each local axis with its
-        # per-element 1-D table → values/derivatives at quad points.
-        # Explicit einsums keep the layout (E_rev..., q_rev...) unambiguous.
-        E_LBL = "ZYX"[3 - dim :]
-        A_LBL = "zyx"[3 - dim :]
-        Q_LBL = "wvu"[3 - dim :]
-
-        def contract(tabs):
-            out = xe  # (E_rev..., a_rev...)
-            cur = list(A_LBL)
-            for g in range(dim - 1, -1, -1):  # contract x first
-                d = dim - 1 - g
-                T = tabs[d]  # (E_d, Q_d, p_d+1)
-                lhs = f"{E_LBL[g]}{Q_LBL[g]}{A_LBL[g]}"
-                src = E_LBL + "".join(cur)
-                cur[g] = Q_LBL[g]
-                dst = E_LBL + "".join(cur)
-                out = jnp.einsum(f"{lhs},{src}->{dst}", T, out)
-            return out
-
         # values and per-axis parametric derivatives at quad points
         fields = []
         c_is_zero = c == 0.0
         if not c_is_zero:
             fields.append(("val", [self.B0[d] for d in range(dim)]))
         for dd in range(dim):
-            tabs = [self.B1[d] if d == dd else self.B0[d] for d in range(dim)]
-            fields.append((f"g{dd}", tabs))
+            fields.append((f"g{dd}", [
+                self.B1[d] if d == dd else self.B0[d] for d in range(dim)
+            ]))
 
-        evals = {name: contract(tabs) for name, tabs in fields}
+        evals = {name: self._contract(xe, tabs) for name, tabs in fields}
 
         # weights (separable) on the q grid — broadcast per axis
-        def wq_shape():
-            w = None
-            for g in range(dim):
-                d = dim - 1 - g
-                wd = self.w1d[d]  # (E_d, Q_d)
-                shape = [1] * (2 * dim)
-                shape[g] = wd.shape[0]
-                shape[dim + g] = wd.shape[1]
-                w_d = wd.reshape(shape)
-                w = w_d if w is None else w * w_d
-            return w
+        w = None
+        for g in range(dim):
+            d = dim - 1 - g
+            wd = self.w1d[d]  # (E_d, Q_d)
+            shape = [1] * (2 * dim)
+            shape[g] = wd.shape[0]
+            shape[dim + g] = wd.shape[1]
+            w_d = wd.reshape(shape)
+            w = w_d if w is None else w * w_d
 
-        w = wq_shape()
-
-        # geometric factors: identity parametric map (geometry not yet
-        # supported matrix-free); gradient in physical = parametric here
         acc = {}
-        if not c_is_zero:
-            acc["val"] = c * w * evals["val"]
-        for dd in range(dim):
-            acc[f"g{dd}"] = kappa * w * evals[f"g{dd}"]
-
-        # transpose chain: contract back to closures and scatter
-        def contract_T(z, tabs):
-            out = z  # (E_rev..., q_rev...)
-            cur = list(Q_LBL)
-            for g in range(dim - 1, -1, -1):
-                d = dim - 1 - g
-                T = tabs[d]
-                lhs = f"{E_LBL[g]}{Q_LBL[g]}{A_LBL[g]}"
-                src = E_LBL + "".join(cur)
-                cur[g] = A_LBL[g]
-                dst = E_LBL + "".join(cur)
-                out = jnp.einsum(f"{lhs},{src}->{dst}", T, out)
-            return out
+        if self._G is None:
+            # identity map: gradient in physical = parametric
+            if not c_is_zero:
+                acc["val"] = c * w * evals["val"]
+            for dd in range(dim):
+                acc[f"g{dd}"] = kappa * w * evals[f"g{dd}"]
+        else:
+            # mapped: mass picks up detJ, stiffness the pointwise metric
+            if not c_is_zero:
+                acc["val"] = c * w * self._detJ * evals["val"]
+            for dd in range(dim):
+                t = None
+                for ee in range(dim):
+                    term = self._G[..., dd, ee] * evals[f"g{ee}"]
+                    t = term if t is None else t + term
+                acc[f"g{dd}"] = kappa * w * t
 
         ye = None
         for name, tabs in fields:
-            term = contract_T(acc[name], tabs)
+            term = self._contract_T(acc[name], tabs)
             ye = term if ye is None else ye + term
 
         return self._scatter(ye).reshape(-1)

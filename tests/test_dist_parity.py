@@ -184,6 +184,61 @@ def test_dist_bicgstab_advection():
     )
 
 
+def test_dist_gmres_advection():
+    """Distributed restarted GMRES (general nonsymmetric solver) matches
+    the serial solution and partitions invariantly."""
+    from petiga_tpu.solve.krylov import gmres
+
+    def adv_system(pt, ctx):
+        beta = jnp.asarray([1.0, 0.5])
+        K = pt.shape1 @ pt.shape1.T * 0.1 + jnp.outer(
+            pt.shape0, pt.shape1 @ beta
+        )
+        return K, pt.shape0
+
+    sp_s = make_space(2, p=2, nel=8, dtype=F64)
+    A_ref, b_ref = assemble_system(sp_s, adv_system)
+    x_ref = gmres(A_ref, b_ref, M=jacobi_preconditioner(A_ref),
+                  rtol=1e-12, restart=20).x
+
+    for pgrid in [(2, 2), (4, 1)]:
+        sp = make_space(2, p=2, nel=8, dtype=F64)
+        ds = DistSpace(sp, devices=jax.devices()[: int(np.prod(pgrid))],
+                       pgrid=pgrid)
+        data, b = ds.assemble_system(adv_system)
+        x, k, res = ds.gmres(data, b, rtol=1e-12, restart=20)
+        assert int(k) > 0
+        np.testing.assert_allclose(
+            np.asarray(ds.crop_flat(x)), np.asarray(x_ref), atol=1e-8
+        )
+
+
+def test_dist_pbjacobi_elasticity():
+    """Point-block-Jacobi PC on a dof=3 elasticity system: the
+    distributed CG matches serial and needs no more iterations than
+    scalar Jacobi."""
+    from petiga_tpu.models.elasticity import elasticity_system
+    from petiga_tpu.models.elasticity import make_space as make_el
+    from petiga_tpu.solve.krylov import block_jacobi_preconditioner
+
+    sp_s = make_el(2, p=2, nel=6, dtype=F64)
+    ctx = {"lambda": 1.0, "mu": 1.0,
+           "body_force": lambda x: jnp.asarray([0.0, -1.0])}
+    A_ref, b_ref = assemble_system(sp_s, elasticity_system, ctx)
+    x_ref = cg(A_ref, b_ref, M=block_jacobi_preconditioner(A_ref),
+               rtol=1e-12).x
+
+    sp = make_el(2, p=2, nel=6, dtype=F64)
+    ds = DistSpace(sp, devices=jax.devices()[:4], pgrid=(2, 2))
+    data, b = ds.assemble_system(elasticity_system, ctx)
+    x_pb, k_pb, _ = ds.cg(data, b, rtol=1e-12, pc="pbjacobi")
+    x_j, k_j, _ = ds.cg(data, b, rtol=1e-12, pc="jacobi")
+    np.testing.assert_allclose(
+        np.asarray(ds.crop_flat(x_pb)), np.asarray(x_ref), atol=1e-8
+    )
+    assert int(k_pb) <= int(k_j)
+
+
 @pytest.mark.parametrize("pgrid,nel,periodic", [
     ((2, 2), 9, False),   # overlap path (L >= 2p)
     ((4, 1), 8, True),    # thin blocks on axis 0 -> auto fallback

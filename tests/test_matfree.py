@@ -50,6 +50,54 @@ def test_matfree_matches_assembled(dim, p, periodic, c, k):
     )
 
 
+@pytest.mark.parametrize("dim,p,cont", [(1, 2, 0), (2, 2, 0), (2, 3, 1)])
+def test_matfree_reduced_continuity(dim, p, cont):
+    """Element steps > 1 (repeated interior knots): strided gathers and
+    scatter-adds reproduce the assembled operator."""
+    axes = [
+        Axis.uniform(p=p, nel=5, continuity=cont) for _ in range(dim)
+    ]
+    sp = Space(axes, dtype=F64)
+    sp.set_boundary_value(0, 0, 0, 0.0)
+    A, _ = assemble_system(sp, rd_form(0.4, 1.3))
+    op = MatFreeOperator(sp, c=0.4, kappa=1.3)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-11
+    )
+
+
+def test_matfree_mapped_geometry():
+    """Non-identity (curvilinear, non-affine) geometry: the pointwise
+    metric path matches the assembled operator on the mapped domain."""
+    sp = Space([Axis.uniform(p=2, nel=5) for _ in range(2)], dtype=F64)
+    sp.set_boundary_value(0, 0, 0, 0.0)
+    # warped map: x = u + 0.1 sin(pi u) v, y = v (det J > 0)
+    g = sp.greville_coordinates()
+    X = np.stack(
+        [g[:, 0] + 0.1 * np.sin(np.pi * g[:, 0]) * g[:, 1], g[:, 1]],
+        axis=1,
+    )
+    sp.init_geometry(X)
+    A, _ = assemble_system(sp, rd_form(0.7, 1.0))
+    op = MatFreeOperator(sp, c=0.7, kappa=1.0)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-10
+    )
+
+
+def test_matfree_rational_rejected():
+    sp = Space([Axis.uniform(p=2, nel=4) for _ in range(2)], dtype=F64)
+    g = sp.greville_coordinates()
+    W = np.full(sp.nnodes, 1.5)
+    sp.init_geometry(np.asarray(g), W)
+    with pytest.raises(ValueError):
+        MatFreeOperator(sp)
+
+
 def test_matfree_cg_solves_poisson():
     from petiga_tpu.models.poisson import make_space, poisson_system, l2_error
     from petiga_tpu.assembly.assemble import assemble_vector

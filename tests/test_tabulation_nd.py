@@ -262,3 +262,32 @@ def test_der4_parametric():
 
     err = compute_scalar(sp, fn, U, order=4)
     np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-14)
+
+
+def test_validate_geometry_guard():
+    """petigaelem.c:989-993 analog: accept a valid warped map, reject a
+    folded (non-injective) one, naming the offending elements."""
+    import pytest
+    from petiga_tpu.assembly.tabulation import validate_geometry
+    from petiga_tpu.core.axis import Axis
+    from petiga_tpu.core.space import Space
+
+    def mk():
+        return Space([Axis.uniform(p=2, nel=4) for _ in range(2)],
+                     dtype=jnp.float64)
+
+    sp = mk()
+    g = sp.greville_coordinates()
+    X = np.stack(
+        [g[:, 0] + 0.1 * np.sin(np.pi * g[:, 0]) * g[:, 1], g[:, 1]],
+        axis=1,
+    )
+    sp.init_geometry(X)
+    validate_geometry(sp)  # must not raise
+
+    sp2 = mk()
+    Xf = np.asarray(g).copy()
+    Xf[:, 0] = -Xf[:, 0]  # mirrored: detJ < 0 everywhere
+    sp2.init_geometry(Xf)
+    with pytest.raises(ValueError, match="Jacobian"):
+        validate_geometry(sp2)
