@@ -75,3 +75,12 @@ def test_example_hyperelasticity():
         ["--dim", "2", "-p", "2", "-N", "4", "--dtype", "float64",
          "--material", "neo_hookean", "--stretch", "0.1"],
     ) == 0
+
+
+def test_example_distributed(tmp_path):
+    assert _run_example(
+        "distributed",
+        ["--dim", "2", "-p", "2", "-N", "8", "--dtype", "float64",
+         "--solver", "cg", "--pc", "pbjacobi",
+         "--checkpoint", str(tmp_path / "ck"), "--check-error", "1e-3"],
+    ) == 0
