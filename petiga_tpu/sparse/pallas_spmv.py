@@ -1,8 +1,8 @@
 """Pallas TPU stencil-SpMV kernel.
 
-The XLA slot-loop SpMV (StencilMatrix.matvec) reaches only ~9% of the
-HBM roofline on TPU: each of the K shifted multiply-adds re-reads the
-shifted x window, and the (grid, K)-layout slot extraction defeats
+The XLA slot-loop SpMV (StencilMatrix.matvec) reaches only ~0.5-9% of
+the HBM roofline on TPU: each of the K shifted multiply-adds re-reads
+the shifted x window, and the (grid, K)-layout slot extraction defeats
 Mosaic's tiling.  This kernel uses a *flat slot-major* layout instead:
 
   DT[K, M, 128]   slot-major matrix planes — flat node index packed into
@@ -16,8 +16,19 @@ spatial padding, no wrap bookkeeping.  A flat shift by c = 128·q + m
 decomposes into a sublane shift q and a lane rotation m with carry,
 realized as two row-shifted loads + `pltpu.roll` + a lane select — all
 full-(R,128)-tile VPU ops at 100% lane utilization.  The matrix planes
-stream through VMEM exactly once; x stays VMEM-resident (~1.3 MB for
-64³ p=2).  HBM traffic ≈ nnz·4 B — the roofline minimum.
+stream through VMEM exactly once; HBM traffic ≈ nnz·4 B — the roofline
+minimum.
+
+Two kernel variants, selected automatically by the VMEM plan:
+
+  * ``vmem`` — x (with guards) stays VMEM-resident for the whole kernel
+    (~9 MB at 128³ p=2); windows are row-shifted VMEM loads.  84% of the
+    HBM roofline measured on v5e (artifacts/bench_spmv.json).
+  * ``hbm`` — for grids whose x exceeds the VMEM budget (256³ p=2 needs
+    69 MB): x stays in HBM and each grid step double-buffer-DMAs the
+    (ROWS + 2G)-row window it needs into a VMEM scratch — the manual
+    async-copy pipeline pattern.  Extra HBM traffic is the window
+    overlap, ≈ (1 + 2G/ROWS)·|x| ≈ 0.15·|matrix| at 256³ p=2.
 
 Periodic axes (petigaaxis.c wrap semantics) are handled by packing on
 the *extended* grid: each periodic axis is padded by p on both sides,
@@ -33,14 +44,20 @@ into ``K·dof·dof`` slot-major planes, and each output field accumulates
 ``sum_{s,b} DT[s,a,b] * shift(x_b, c_s)`` — still one streaming pass
 over the matrix at ~nnz·itemsize HBM traffic.
 
-The VMEM plan keeps x (with guards), the double-buffered DT block and
-the output block within ~14 MB; when no row-block size fits (very large
-K·dof² or an x too big for VMEM residency) ``supported`` is False and
-callers fall back to the XLA path.
+Packed-vector solver API: repacking x/y on every matvec costs more than
+the O(vector) it touches (extra XLA fusion boundaries inside the solve
+while_loop).  ``pack_vec``/``unpack_vec``/``matvec_xb`` keep an entire
+Krylov solve in the packed (G+Mp+G, 128) layout — pack b once, iterate
+on packed vectors (axpys/dots are exact: padding and guard rows are
+zero for open axes), unpack the solution once.  See
+``petiga_tpu.solve.krylov.cg`` usage in bench.py.
 
 Use :class:`PallasStencilOperator` to pre-pack the layout once per
 operator (e.g. around a whole CG solve), or ``pallas_matvec(A, x)`` for
-one-off applications.
+one-off applications.  ``PallasStencilOperator.from_planes`` builds the
+operator directly from slot-major planes (the zero-copy path used by
+``assemble_system_planes`` for meshes where node-major storage plus the
+packed planes would exceed HBM, e.g. 256³ p=2 = 2×8.6 GB).
 """
 
 from __future__ import annotations
@@ -54,27 +71,34 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["pallas_matvec", "supported", "PallasStencilOperator"]
+__all__ = [
+    "pallas_matvec",
+    "supported",
+    "PallasStencilOperator",
+    "alignment_pads",
+]
 
 LANES = 128
 VMEM_BUDGET = 14 * 2**20
 
 
-def _ext_shape(stencil):
-    """Extended node shape: periodic axes padded by p on both sides."""
+def _ext_shape(stencil, align=None):
+    """Extended node shape: periodic axes padded by p on both sides,
+    plus optional per-axis high-side alignment pads."""
+    al = align if align is not None else (0,) * stencil.dim
     return tuple(
-        N + 2 * p if per else N
-        for N, p, per in zip(
-            stencil.node_shape, stencil.widths, stencil.periodic
+        N + (2 * p if per else 0) + a
+        for N, p, per, a in zip(
+            stencil.node_shape, stencil.widths, stencil.periodic, al
         )
     )
 
 
-def _flat_shifts(stencil) -> np.ndarray:
+def _flat_shifts(stencil, align=None) -> np.ndarray:
     """(K,) constant flat-index shift per slot in the extended index
     space (axis-0 fastest)."""
     offs = stencil.slot_offsets()  # (K, dim)
-    Ne = _ext_shape(stencil)
+    Ne = _ext_shape(stencil, align)
     c = np.zeros(offs.shape[0], dtype=np.int64)
     stride = 1
     for d in range(stencil.dim):
@@ -83,16 +107,52 @@ def _flat_shifts(stencil) -> np.ndarray:
     return c
 
 
-def _plan(stencil, itemsize: int = 4):
-    """VMEM plan: (rows, guard, M, next) with x + guards, the
-    double-buffered DT block and the output block within the budget.
-    Returns None when nothing fits."""
+def alignment_pads(stencil, lanes: int = LANES):
+    """Per-axis high-side pads making prod(ext_shape) divisible by
+    ``lanes`` with minimal volume overhead — required by the zero-copy
+    plane-direct layout (``from_planes``), where the flat tail pad of
+    the packed arrays must be absorbed into the grid itself (a late
+    flat-tail ``jnp.pad`` would copy the multi-GB plane array).
+
+    Small exhaustive search over the two fastest axes (pads 0..15) with
+    the slowest axis rounded up to the needed power-of-two multiple.
+    """
+    N = _ext_shape(stencil)  # include periodic halos
+    dim = stencil.dim
+    if dim == 1:
+        extra = (-N[0]) % lanes
+        return (extra,)
+    best = None
+    rng = range(0, 16)
+    fast_axes = list(range(dim - 1))
+    import itertools
+
+    for pads in itertools.product(rng, repeat=len(fast_axes)):
+        rest = 1
+        for ax, a in zip(fast_axes, pads):
+            rest *= N[ax] + a
+        g = math.gcd(rest, lanes)
+        mult = lanes // g
+        last = math.ceil(N[dim - 1] / mult) * mult
+        vol = rest * last
+        if best is None or vol < best[0]:
+            best = (vol, pads + (last - N[dim - 1],))
+    return tuple(best[1])
+
+
+def _plan(stencil, itemsize: int = 4, align=None):
+    """VMEM plan: (kind, rows, guard, M, next).
+
+    kind "vmem": x + guards VMEM-resident alongside the double-buffered
+    DT block and the output block.  kind "hbm": x stays in HBM, each
+    grid step DMAs its (rows + 2·guard)-row window into scratch.
+    Returns None when nothing fits (very large K·dof²)."""
     K, dof = stencil.K, stencil.dof
     planes = K * dof * dof
-    Ne = _ext_shape(stencil)
+    Ne = _ext_shape(stencil, align)
     next_ = int(np.prod(Ne))
     M = math.ceil(next_ / LANES)
-    c = _flat_shifts(stencil)
+    c = _flat_shifts(stencil, align)
     G = int(np.max(np.abs(c))) // LANES + 2
     for r in (128, 64, 32, 16, 8):
         Mp = math.ceil(M / r) * r
@@ -100,14 +160,61 @@ def _plan(stencil, itemsize: int = 4):
         dt_bytes = 2 * planes * r * LANES * itemsize
         out_bytes = 2 * dof * r * LANES * itemsize
         if x_bytes + dt_bytes + out_bytes <= VMEM_BUDGET:
-            return r, G, M, next_
+            return ("vmem", r, G, M, next_)
+    Gh = -(-G // 8) * 8  # sublane-aligned DMA windows
+    for r in (128, 64, 32, 16, 8):
+        win = r + 2 * Gh
+        dt_bytes = 2 * planes * r * LANES * itemsize
+        x_bytes = 2 * dof * win * LANES * itemsize
+        out_bytes = 2 * dof * r * LANES * itemsize
+        if x_bytes + dt_bytes + out_bytes <= VMEM_BUDGET:
+            return ("hbm", r, Gh, M, next_)
     return None
 
 
 def supported(stencil, itemsize: int = 4) -> bool:
     """Any dim, any dof, open or periodic axes, provided the K·dof²
-    matrix planes plus the VMEM-resident x fit the streaming budget."""
+    matrix planes fit the streaming budget (either x VMEM-resident or
+    the HBM-windowed variant)."""
     return _plan(stencil, itemsize) is not None
+
+
+def _accumulate(window, shifts, dof, dtype, rows, dt_ref):
+    """Shared accumulation body: for each slot shift c = 128·q + m, two
+    row-shifted window loads + lane roll-with-carry, FMA into per-field
+    accumulators (NACC-way split to break the FMA latency chain)."""
+    NACC = 4
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    acc = [
+        [jnp.zeros((rows, LANES), dtype) for _ in range(NACC)]
+        for _ in range(dof)
+    ]
+    loads = {}
+    masks = {}
+
+    def win(b, q):
+        key = (b, q)
+        if key not in loads:
+            loads[key] = window(b, q)
+        return loads[key]
+
+    for s, c in enumerate(shifts):
+        q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
+        for b in range(dof):
+            A = win(b, q)
+            if m == 0:
+                xs = A
+            else:
+                B = win(b, q + 1)
+                if m not in masks:
+                    masks[m] = lane < LANES - m
+                ra = pltpu.roll(A, LANES - m, 1)
+                rb = pltpu.roll(B, LANES - m, 1)
+                xs = jnp.where(masks[m], ra, rb)
+            for a in range(dof):
+                j = s % NACC
+                acc[a][j] = acc[a][j] + dt_ref[(s * dof + a) * dof + b] * xs
+    return [sum(acc[a][1:], acc[a][0]) for a in range(dof)]
 
 
 @functools.partial(
@@ -115,9 +222,10 @@ def supported(stencil, itemsize: int = 4) -> bool:
     static_argnames=("shifts", "dof", "guard", "rows", "interpret"),
 )
 def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
-    """DT: (K·dof·dof, Mp, 128) slot-major matrix planes (plane index
-    ``(s·dof + a)·dof + b``); xb: (dof·(G+Mp+G), 128) per-field packed x
-    segments stacked along rows.  Returns y: (dof, Mp, 128).
+    """x-VMEM-resident variant.  DT: (K·dof·dof, M, 128) slot-major
+    matrix planes (plane index ``(s·dof + a)·dof + b``); xb:
+    (dof·(G+Mp+G), 128) per-field packed x segments stacked along rows,
+    with Mp = ceil(M/rows)·rows.  Returns y: (dof, M, 128).
 
     Field segments are addressed with *static* row offsets into a 2-D
     ref (``x_ref[pl.ds(b·seg + ..., ROWS)]``) and the output block is
@@ -125,59 +233,26 @@ def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
     miscompiles on real Mosaic for dof>1 (correct under interpret=True),
     so only 2-D dynamic-slice reads and whole-block writes are used.
     """
-    Mp = DT.shape[1]
+    M = DT.shape[1]
     G = guard
     ROWS = rows
-    nchunks = Mp // ROWS
+    nchunks = -(-M // ROWS)
     dtype = xb.dtype
     K = len(shifts)
-    seg = G + Mp + G  # rows per field segment of xb
-
-    NACC = 4  # independent accumulators to break the FMA latency chain
+    seg = G + nchunks * ROWS + G  # rows per field segment of xb
 
     def kernel(dt_ref, x_ref, y_ref):
         i = pl.program_id(0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
-        acc = [
-            [jnp.zeros((ROWS, LANES), dtype) for _ in range(NACC)]
-            for _ in range(dof)
-        ]
-        loads = {}  # (b, q) -> window; slots sharing a sublane base reuse it
-        masks = {}  # m -> lane mask
 
         def window(b, q):
-            key = (b, q)
-            if key not in loads:
-                loads[key] = x_ref[
-                    pl.ds(b * seg + i * ROWS + G + q, ROWS), :
-                ]
-            return loads[key]
+            return x_ref[pl.ds(b * seg + i * ROWS + G + q, ROWS), :]
 
-        for s, c in enumerate(shifts):
-            q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
-            for b in range(dof):
-                A = window(b, q)
-                if m == 0:
-                    xs = A
-                else:
-                    B = window(b, q + 1)
-                    if m not in masks:
-                        masks[m] = lane < LANES - m
-                    ra = pltpu.roll(A, LANES - m, 1)
-                    rb = pltpu.roll(B, LANES - m, 1)
-                    xs = jnp.where(masks[m], ra, rb)
-                for a in range(dof):
-                    j = s % NACC
-                    acc[a][j] = acc[a][j] + dt_ref[(s * dof + a) * dof + b] * xs
-        tot = [
-            sum(acc[a][1:], acc[a][0])
-            for a in range(dof)
-        ]
+        tot = _accumulate(window, shifts, dof, dtype, ROWS, dt_ref)
         y_ref[:, :, :] = jnp.stack(tot, axis=0)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((dof, Mp, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((dof, M, LANES), dtype),
         grid=(nchunks,),
         in_specs=[
             pl.BlockSpec(
@@ -194,6 +269,79 @@ def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
     )(DT, xb)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("shifts", "dof", "guard", "rows", "interpret"),
+)
+def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
+    """HBM-windowed variant for grids whose packed x exceeds the VMEM
+    budget (e.g. 256³ p=2: 69 MB).  x stays in HBM; each grid step
+    double-buffer-DMAs the (ROWS + 2G)-row window it needs into a VMEM
+    scratch (async-copy pipeline), so the next window streams while the
+    current block computes.  Same layout contract as :func:`_flat_spmv`.
+    """
+    M = DT.shape[1]
+    G = guard
+    ROWS = rows
+    WIN = ROWS + 2 * G
+    nchunks = -(-M // ROWS)
+    dtype = xb.dtype
+    K = len(shifts)
+    seg = G + nchunks * ROWS + G
+
+    def kernel(x_hbm, dt_ref, y_ref, xwin, sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+        def dma(slot_, chunk, b):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(b * seg + chunk * ROWS, WIN), :],
+                xwin.at[pl.ds((slot_ * dof + b) * WIN, WIN), :],
+                sems.at[slot_, b],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            for b in range(dof):
+                dma(0, 0, b).start()
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            for b in range(dof):
+                dma(1 - slot, i + 1, b).start()
+
+        for b in range(dof):
+            dma(slot, i, b).wait()
+
+        def window(b, q):
+            return xwin[pl.ds((slot * dof + b) * WIN + G + q, ROWS), :]
+
+        tot = _accumulate(window, shifts, dof, dtype, ROWS, dt_ref)
+        y_ref[:, :, :] = jnp.stack(tot, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((dof, M, LANES), dtype),
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
+            pl.BlockSpec(
+                (K * dof * dof, ROWS, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (dof, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * dof * WIN, LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, dof)),
+        ],
+        interpret=interpret,
+    )(xb, DT)
+
+
 class PallasStencilOperator:
     """A StencilMatrix re-packed for the flat Pallas kernel.
 
@@ -202,68 +350,111 @@ class PallasStencilOperator:
     back to ``A.matvec`` when :func:`supported` is False.
     """
 
-    def __init__(self, A, interpret: bool | None = None):
+    def __init__(self, A=None, interpret: bool | None = None, *,
+                 stencil=None, align=None, dtype=None, force_kind=None):
         self.A = A
-        self.st = st = A.stencil
+        self.st = st = A.stencil if A is not None else stencil
         if interpret is None:
             # Mosaic only exists on TPU; elsewhere (CPU tests, debugging)
             # run the kernel through the interpreter.
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
-        itemsize = jnp.dtype(A.data.dtype).itemsize
-        plan = _plan(st, itemsize)
+        dtype = A.data.dtype if A is not None else dtype
+        itemsize = jnp.dtype(dtype).itemsize
+        self.align = align
+        plan = _plan(st, itemsize, align)
         self.ok = plan is not None
         if not self.ok:
             return
-        self.rows, self.G, M, next_ = plan
+        if force_kind is not None and plan[0] != force_kind:
+            # testing hook: exercise the HBM-windowed kernel on grids
+            # small enough that the VMEM plan would normally win
+            kind, r, G, M_, next__ = plan
+            if force_kind == "hbm":
+                plan = ("hbm", r, -(-G // 8) * 8, M_, next__)
+            else:
+                raise ValueError(f"cannot force {force_kind} here")
+        self.kind, self.rows, self.G, M, next_ = plan
         dim, K, dof = st.dim, st.K, st.dof
         N = st.node_shape
         p = st.widths
-        self.Ne = Ne = _ext_shape(st)
+        self.Ne = Ne = _ext_shape(st, align)
         self.next = next_
         self.M = M
         self.Mp = Mp = math.ceil(M / self.rows) * self.rows
         self.dof = dof
-        self.shifts = tuple(int(v) for v in _flat_shifts(st))
-        # grid pad spec for periodic axes (grid layout = reversed axes)
-        self._gpads = [
-            (p[dim - 1 - g], p[dim - 1 - g])
-            if st.periodic[dim - 1 - g]
-            else (0, 0)
-            for g in range(dim)
-        ]
+        self.shifts = tuple(int(v) for v in _flat_shifts(st, align))
+        # grid pad spec: periodic halo (lo, hi) + alignment hi pad
+        # (grid layout = reversed axes)
+        al = align if align is not None else (0,) * dim
+        self._gpads = []
+        for g in range(dim):
+            d = dim - 1 - g
+            lo = p[d] if st.periodic[d] else 0
+            hi = lo + al[d]
+            self._gpads.append((lo, hi))
         self._any_per = any(st.periodic)
-        # pack matrix planes on the extended grid: halo rows zero
-        dg = A.data.reshape(tuple(N[::-1]) + (K * dof * dof,))
-        if self._any_per:
-            dg = jnp.pad(dg, self._gpads + [(0, 0)])
-        DT = dg.reshape(next_, K * dof * dof).T
-        DT = jnp.pad(DT, ((0, 0), (0, Mp * LANES - next_)))
-        self.DT = DT.reshape(K * dof * dof, Mp, LANES)
+        if A is not None:
+            # pack matrix planes on the extended grid: halo rows zero
+            dg = A.data.reshape(tuple(N[::-1]) + (K * dof * dof,))
+            if any(pp != (0, 0) for pp in self._gpads):
+                dg = jnp.pad(dg, self._gpads + [(0, 0)])
+            DT = dg.reshape(next_, K * dof * dof).T
+            DT = jnp.pad(DT, ((0, 0), (0, M * LANES - next_)))
+            self.DT = DT.reshape(K * dof * dof, M, LANES)
+        else:
+            self.DT = None  # supplied via from_planes
+
+    @classmethod
+    def from_planes(cls, stencil, DT, align, interpret=None):
+        """Zero-copy construction from pre-packed slot-major planes
+        (K·dof², M, 128) laid out on the alignment-padded grid
+        (``alignment_pads``) — the path ``assemble_system_planes`` uses
+        so the multi-GB operator is never stored twice."""
+        op = cls(None, interpret, stencil=stencil, align=align,
+                 dtype=DT.dtype)
+        if not op.ok:
+            raise ValueError("Pallas layout unsupported for this stencil")
+        if DT.shape != (stencil.K * stencil.dof**2, op.M, LANES):
+            raise ValueError(
+                f"plane shape {DT.shape} != "
+                f"{(stencil.K * stencil.dof**2, op.M, LANES)}"
+            )
+        op.DT = DT
+        return op
+
+    # ------------------------------------------------------------- packing
 
     def _pack_x(self, x):
-        """(nnodes, dof) -> (dof, G+Mp+G, 128) on the extended grid with
-        wrap halos for periodic axes."""
+        """(nnodes, dof) -> (dof·(G+Mp+G), 128) on the extended grid
+        with wrap halos for periodic axes."""
         st = self.st
         dim = st.dim
         xg = x.reshape(tuple(st.node_shape[::-1]) + (st.dof,))
-        if self._any_per:
-            for g in range(dim):
-                if self._gpads[g] != (0, 0):
-                    pw = [(0, 0)] * (dim + 1)
-                    pw[g] = self._gpads[g]
-                    xg = jnp.pad(xg, pw, mode="wrap")
+        for g in range(dim):
+            lo, hi = self._gpads[g]
+            d = dim - 1 - g
+            if st.periodic[d] and lo > 0:
+                pw = [(0, 0)] * (dim + 1)
+                pw[g] = (lo, lo)
+                xg = jnp.pad(xg, pw, mode="wrap")
+                hi = hi - lo
+            if hi > 0:
+                pw = [(0, 0)] * (dim + 1)
+                pw[g] = (0, hi)
+                xg = jnp.pad(xg, pw)
         xT = xg.reshape(self.next, st.dof).T  # (dof, next)
         pad_lo = self.G * LANES
         pad_hi = (self.G + self.Mp) * LANES - self.next
         return jnp.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
 
     def _unpack_y(self, y):
-        """(dof, Mp, 128) -> (nnodes, dof): crop the extended grid."""
+        """(dof, M or Mp, 128) -> (nnodes, dof): crop the extended
+        grid."""
         st = self.st
         dim = st.dim
         y = y.reshape(self.dof, -1)[:, : self.next].T  # (next, dof)
-        if self._any_per:
+        if any(pp != (0, 0) for pp in self._gpads):
             yg = y.reshape(tuple(self.Ne[::-1]) + (self.dof,))
             sl = tuple(
                 slice(lo, lo + st.node_shape[dim - 1 - g])
@@ -271,6 +462,60 @@ class PallasStencilOperator:
             )
             y = yg[sl].reshape(st.nnodes, self.dof)
         return y
+
+    # public packed-vector API (solver loops stay in kernel layout)
+
+    def pack_vec(self, x):
+        """Flat (nnodes·dof,) or (nnodes, dof) -> packed
+        (dof·(G+Mp+G), 128).  Linear; zero padding/guards for open axes,
+        wrapped halo copies for periodic axes."""
+        return self._pack_x(x.reshape(self.st.nnodes, self.dof))
+
+    def unpack_vec(self, xb, flat: bool = False):
+        """Packed -> (nnodes, dof) (or flat (nnodes·dof,))."""
+        seg = xb.shape[0] // self.dof
+        y = xb.reshape(self.dof, seg, LANES)[:, self.G: seg - self.G]
+        y = self._unpack_y(y)
+        return y.reshape(-1) if flat else y
+
+    def embed(self, y):
+        """Kernel output (dof, M, 128) -> packed layout with zero
+        guards (valid as solver-iterate layout for OPEN axes)."""
+        pad_hi = self.G + self.Mp - y.shape[1]
+        return jnp.pad(y, ((0, 0), (self.G, pad_hi), (0, 0))).reshape(
+            -1, LANES
+        )
+
+    def packed_mask(self):
+        """(dof·seg, 128) 1/0 mask of real (owned) entries — for exact
+        dots on packed vectors when halo rows duplicate entries
+        (periodic axes).  Open axes: dots on packed vectors are already
+        exact (padding is zero)."""
+        g2 = np.zeros(tuple(self.Ne[::-1]) + (self.dof,), np.float32)
+        sl = tuple(
+            slice(lo, lo + self.st.node_shape[self.st.dim - 1 - gg])
+            for gg, (lo, _) in enumerate(self._gpads)
+        )
+        g2[sl] = 1.0
+        xT = g2.reshape(self.next, self.dof).T
+        pad_lo = self.G * LANES
+        pad_hi = (self.G + self.Mp) * LANES - self.next
+        out = np.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
+        return jnp.asarray(out)
+
+    # --------------------------------------------------------------- apply
+
+    def _kernel(self, DT, xb):
+        fn = _flat_spmv if self.kind == "vmem" else _flat_spmv_hbm
+        return fn(
+            DT,
+            xb,
+            shifts=self.shifts,
+            dof=self.dof,
+            guard=self.G,
+            rows=self.rows,
+            interpret=self.interpret,
+        )
 
     def matvec(self, x):
         if not self.ok:
@@ -287,17 +532,51 @@ class PallasStencilOperator:
         contributes static packing metadata."""
         flat_in = x.ndim == 1
         xb = self._pack_x(x.reshape(self.st.nnodes, self.dof))
-        y = _flat_spmv(
-            DT,
-            xb,
-            shifts=self.shifts,
-            dof=self.dof,
-            guard=self.G,
-            rows=self.rows,
-            interpret=self.interpret,
-        )
-        y = self._unpack_y(y)
+        y = self._unpack_y(self._kernel(DT, xb))
         return y.reshape(-1) if flat_in else y
+
+    def matvec_xb(self, DT, xb):
+        """Packed-in, packed-out matvec — the solver-loop fast path.
+
+        Open axes: guards/padding are zero and stay zero under the
+        solver's linear updates, so iterating entirely on packed vectors
+        is exact.  Periodic axes: the halo rows must be re-wrapped after
+        each apply (one grid-layout round trip, O(vector))."""
+        y = self._kernel(DT, xb)
+        if self._any_per:
+            return self._pack_x(self._unpack_y(y))
+        return self.embed(y)
+
+    def packed_diag_inv(self):
+        """Jacobi inverse-diagonal in packed layout (zero on padding so
+        preconditioned residuals stay zero there)."""
+        d = self.A.scalar_diagonal() if self.A is not None else (
+            self.diag_from_planes()
+        )
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        return self._pack_x(inv.reshape(self.st.nnodes, self.dof))
+
+    def diag_from_planes(self):
+        """Scalar diagonal recovered from the packed planes (nnodes,
+        dof) — for ``from_planes`` operators with no StencilMatrix."""
+        s = self.st
+        cols = []
+        for a in range(self.dof):
+            plane = self.DT[(s.diag_slot * self.dof + a) * self.dof + a]
+            cols.append(plane.reshape(-1)[: self.next])
+        y = jnp.stack(cols, axis=-1)  # (next, dof)
+        return self._unpack_from_ext(y)
+
+    def _unpack_from_ext(self, y):
+        dim = self.st.dim
+        if any(pp != (0, 0) for pp in self._gpads):
+            yg = y.reshape(tuple(self.Ne[::-1]) + (self.dof,))
+            sl = tuple(
+                slice(lo, lo + self.st.node_shape[dim - 1 - g])
+                for g, (lo, _) in enumerate(self._gpads)
+            )
+            y = yg[sl].reshape(self.st.nnodes, self.dof)
+        return y
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -312,10 +591,32 @@ class PallasStencilOperator:
         return self.A.data
 
     def scalar_diagonal(self):
-        return self.A.scalar_diagonal()
+        if self.A is not None:
+            return self.A.scalar_diagonal()
+        return self.diag_from_planes()
 
     def diagonal(self):
-        return self.A.diagonal()
+        if self.A is not None:
+            return self.A.diagonal()
+        s = self.st
+        dof = self.dof
+        blocks = []
+        for a in range(dof):
+            row = []
+            for b in range(dof):
+                plane = self.DT[(s.diag_slot * dof + a) * dof + b]
+                row.append(plane.reshape(-1)[: self.next])
+            blocks.append(jnp.stack(row, axis=-1))
+        y = jnp.stack(blocks, axis=-2)  # (next, dof, dof)
+        if any(pp != (0, 0) for pp in self._gpads):
+            dim = s.dim
+            yg = y.reshape(tuple(self.Ne[::-1]) + (dof, dof))
+            sl = tuple(
+                slice(lo, lo + s.node_shape[dim - 1 - g])
+                for g, (lo, _) in enumerate(self._gpads)
+            )
+            y = yg[sl].reshape(s.nnodes, dof, dof)
+        return y
 
 
 def pallas_matvec(A, x, interpret: bool = False):

@@ -136,3 +136,105 @@ def test_pallas_spmv_multichunk():
     np.testing.assert_allclose(
         np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
     )
+
+
+# ---------------------------------------------------- packed-vector API
+
+
+def test_packed_roundtrip_and_matvec():
+    """pack_vec/unpack_vec round-trip; matvec_xb == matvec (open axes)."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    sp = Space([Axis.uniform(p=2, nel=4) for _ in range(3)], dtype=F64)
+    A, _ = assemble_system(sp, mass, apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    xb = op.pack_vec(x)
+    np.testing.assert_allclose(np.asarray(op.unpack_vec(xb)), np.asarray(x))
+    yb = op.matvec_xb(op.DT, xb)
+    np.testing.assert_allclose(
+        np.asarray(op.unpack_vec(yb)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+
+
+def test_packed_cg_matches_standard():
+    """A whole CG solve in packed layout (pack b once, unpack x once)
+    reproduces the standard-layout solve — the solver fast path
+    (VERDICT r2 item 4)."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+    from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
+    from petiga_tpu.models.poisson import make_space, poisson_system
+
+    sp = make_space(3, p=2, nel=4, dtype=F64)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.0, "k": 1.0})
+    op = PallasStencilOperator(A, interpret=True)
+    r_std = cg(A, b, M=jacobi_preconditioner(A), rtol=1e-10)
+    dinv = op.packed_diag_inv()
+    r_pk = cg(
+        lambda v: op.matvec_xb(op.DT, v),
+        op.pack_vec(b),
+        M=lambda r: r * dinv,
+        rtol=1e-10,
+    )
+    assert int(r_pk.iters) == int(r_std.iters)
+    np.testing.assert_allclose(
+        np.asarray(op.unpack_vec(r_pk.x)), np.asarray(r_std.x), atol=1e-10
+    )
+
+
+def test_packed_matvec_periodic_rewrap():
+    """matvec_xb re-wraps halo rows for periodic axes so packed solver
+    iterations stay consistent."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    per = (True, False, True)
+    sp = Space(
+        [Axis.uniform(p=2, nel=4, periodic=pp) for pp in per], dtype=F64
+    )
+    A, _ = assemble_system(sp, mass, apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    yb = op.matvec_xb(op.DT, op.pack_vec(x))
+    np.testing.assert_allclose(
+        np.asarray(op.unpack_vec(yb)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    # halo rows are consistent wrapped copies: yb == pack(unpack(yb))
+    np.testing.assert_allclose(
+        np.asarray(yb), np.asarray(op.pack_vec(op.unpack_vec(yb))),
+        atol=1e-12,
+    )
+    # the packed mask counts every owned entry exactly once
+    assert float(op.packed_mask().sum()) == sp.nnodes
+
+
+# ----------------------------------------------- HBM-windowed variant
+
+
+@pytest.mark.parametrize("dof", [1, 2])
+def test_hbm_variant_matches(dof):
+    """The double-buffered DMA variant (force_kind='hbm' — the 256³
+    layout where x exceeds the VMEM budget) matches the XLA path."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    if dof == 1:
+        sp = Space([Axis.uniform(p=2, nel=6) for _ in range(3)], dtype=F64)
+        A, _ = assemble_system(sp, mass, apply_fix=False)
+    else:
+        sp = Space(
+            [Axis.uniform(p=1, nel=5) for _ in range(3)], dof=dof, dtype=F64
+        )
+        A, _ = assemble_system(sp, _block_form(dof), apply_fix=False)
+    op = PallasStencilOperator(A, interpret=True, force_kind="hbm")
+    assert op.kind == "hbm"
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, dof)))
+    y_ref = A.matvec(x)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(y_ref), atol=1e-12
+    )
+    yb = op.matvec_xb(op.DT, op.pack_vec(x))
+    np.testing.assert_allclose(
+        np.asarray(op.unpack_vec(yb)), np.asarray(y_ref), atol=1e-12
+    )
