@@ -32,6 +32,7 @@ from .tabulation import PointBlock, tabulate_elements
 __all__ = [
     "stencil_of",
     "assemble_system",
+    "assemble_system_planes",
     "assemble_matrix",
     "assemble_vector",
     "assemble_function",
@@ -175,6 +176,143 @@ def _normalize_F(F, nen, dof, dtype):
     return F.reshape(nen * dof)
 
 
+def _make_element_KF(space, ctx, order, apply_fix):
+    """Per-chunk element (K, F) evaluator shared by the node-major and
+    the slot-major (plane-direct) system assemblers.
+
+    Returns ``element_KF(ids, valid, face, form) -> (Ke, Fe, emap)``
+    with Ke (B, nen, nen, dof, dof) — row/col local indices unflattened
+    from the (nen·dof) element matrix — and Fe (B, nen, dof)."""
+    dt = space.dtype
+    nen, dof = space.nen, space.dof
+
+    @jax.named_scope("IGA_FormSystem")
+    def element_KF(ids, valid, face, form):
+        pb = tabulate_elements(space, ids, order=order, face=face)
+        emap = space.device_emap(ids)
+        B = ids.shape[0]
+
+        if getattr(form, "qbatched", False):
+            pts = _points_of(pb)
+
+            def one(pt, w):
+                K, F = form(pt, w, ctx)
+                return (
+                    _normalize_K(K, nen, dof, dt),
+                    _normalize_F(F, nen, dof, dt),
+                )
+
+            Ke, Fe = jax.vmap(one)(pts, pb.weight)
+        else:
+            def body(acc, pt, w):
+                Ka, Fa = acc
+                K, F = jax.vmap(lambda p: form(p, ctx))(pt)
+                K = jax.vmap(lambda k: _normalize_K(k, nen, dof, dt))(K)
+                F = jax.vmap(lambda f: _normalize_F(f, nen, dof, dt))(F)
+                return (Ka + w[:, None, None] * K, Fa + w[:, None] * F)
+
+            Ke = jnp.zeros((B, nen * dof, nen * dof), dtype=dt)
+            Fe = jnp.zeros((B, nen * dof), dtype=dt)
+            Ke, Fe = _scan_points(pb, body, (Ke, Fe))
+        if apply_fix:
+            m, v = _fix_arrays(space, emap)
+            Ke, Fe = _fix_system(Ke, Fe, m, v)
+        vmask = valid.astype(dt)
+        Ke = Ke * vmask[:, None, None]
+        Fe = Fe * vmask[:, None]
+        Ke = Ke.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4)
+        return Ke, Fe.reshape(B, nen, dof), emap
+
+    return element_KF
+
+
+def assemble_system_planes(
+    space,
+    system: Callable,
+    ctx=None,
+    *,
+    order: Optional[int] = None,
+    chunk: Optional[int] = None,
+    apply_fix: bool = True,
+    interpret: Optional[bool] = None,
+):
+    """Slot-major (plane-direct) system assembly: element blocks
+    accumulate straight into the Pallas flat slot-major plane layout, so
+    the operator is never stored twice (node-major A + packed planes).
+    This is the single-chip route to the BASELINE.json 256³ p=2
+    assembled target: the 8.6 GB plane array plus CG vectors fit one
+    v5e HBM, while node-major + packed (2 × 8.6 GB) would not.
+
+    Same semantics as :func:`assemble_system` (IGAComputeSystem,
+    petigaksp.c:149-202, incl. the per-element Dirichlet elimination)
+    restricted to open, regular, unit-step spaces (maximal continuity —
+    the bench/production layout).  Returns ``(op, b)`` with ``op`` a
+    :class:`~petiga_tpu.sparse.pallas_spmv.PallasStencilOperator` built
+    zero-copy from the planes and ``b`` the (nnodes, dof) load vector.
+    """
+    from . import fastpath
+    from ..sparse.pallas_spmv import (
+        LANES,
+        PallasStencilOperator,
+        alignment_pads,
+    )
+
+    st = stencil_of(space)
+    if any(space.periodic):
+        raise ValueError("plane-direct assembly requires open axes")
+    if not fastpath.is_unit_step(space):
+        raise ValueError(
+            "plane-direct assembly requires a regular unit-step space"
+        )
+    profiling.count("IGA_FormSystem", profiling.system_flops(space))
+    align = alignment_pads(st)
+    dt = space.dtype
+    dim, dof = space.dim, space.dof
+    Ne = tuple(N + a for N, a in zip(space.node_shape, align))
+    eshape = space.elem_shape
+    slab = int(np.prod(eshape[:-1])) if dim > 1 else 1
+    if chunk is None:
+        chunk = min(space.nel, 8192)
+    kz = max(1, min(eshape[-1], chunk // slab))
+    while eshape[-1] % kz:
+        kz -= 1  # exact slab coverage: no padded chunks, no over-alloc
+    chunk_sz = kz * slab
+    nchunks = eshape[-1] // kz
+    ids, valid = _chunks(space, chunk_sz)
+    assert ids.shape[0] == nchunks
+
+    element_KF = _make_element_KF(space, ctx, order, apply_fix)
+
+    sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
+    P = jnp.zeros(sbox_rev + (dof, dof) + tuple(Ne[::-1]), dt)
+    b_grid = jnp.zeros(tuple(space.node_shape[::-1]) + (dof,), dt)
+
+    def chunk_step(carry, xs):
+        P, bg = carry
+        ids_c, valid_c, c = xs
+        Ke, Fe, _ = element_KF(ids_c, valid_c, None, system)
+        P = fastpath.accumulate_matrix_dyn_planes(space, P, Ke, c * kz, align)
+        bg = fastpath.accumulate_vector_dyn(space, bg, Fe, c * kz)
+        return (P, bg), None
+
+    (P, b_grid), _ = jax.lax.scan(
+        chunk_step,
+        (P, b_grid),
+        (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
+    )
+    planes = st.K * dof * dof
+    M = int(np.prod(Ne)) // LANES
+    op = PallasStencilOperator.from_planes(
+        st, P.reshape(planes, M, LANES), align, interpret=interpret
+    )
+    flux = boundary_flux_vector(space)
+    b = b_grid.reshape(st.nnodes, dof)
+    if flux is not None:
+        mask, _ = space.device("dirichlet")
+        b = b + jnp.where(mask, 0.0, flux.astype(dt))
+    return op, b
+
+
 def assemble_system(
     space,
     system: Callable,
@@ -215,42 +353,7 @@ def assemble_system(
         raise ValueError("shift method requires a regular (non-collocation) space")
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
-    @jax.named_scope("IGA_FormSystem")
-    def element_KF(ids, valid, face, form):
-        pb = tabulate_elements(space, ids, order=order, face=face)
-        emap = space.device_emap(ids)
-        B = ids.shape[0]
-
-        if getattr(form, "qbatched", False):
-            pts = _points_of(pb)
-
-            def one(pt, w):
-                K, F = form(pt, w, ctx)
-                return (
-                    _normalize_K(K, nen, dof, dt),
-                    _normalize_F(F, nen, dof, dt),
-                )
-
-            Ke, Fe = jax.vmap(one)(pts, pb.weight)
-        else:
-            def body(acc, pt, w):
-                Ka, Fa = acc
-                K, F = jax.vmap(lambda p: form(p, ctx))(pt)
-                K = jax.vmap(lambda k: _normalize_K(k, nen, dof, dt))(K)
-                F = jax.vmap(lambda f: _normalize_F(f, nen, dof, dt))(F)
-                return (Ka + w[:, None, None] * K, Fa + w[:, None] * F)
-
-            Ke = jnp.zeros((B, nen * dof, nen * dof), dtype=dt)
-            Fe = jnp.zeros((B, nen * dof), dtype=dt)
-            Ke, Fe = _scan_points(pb, body, (Ke, Fe))
-        if apply_fix:
-            m, v = _fix_arrays(space, emap)
-            Ke, Fe = _fix_system(Ke, Fe, m, v)
-        vmask = valid.astype(dt)
-        Ke = Ke * vmask[:, None, None]
-        Fe = Fe * vmask[:, None]
-        Ke = Ke.reshape(B, nen, dof, nen, dof).transpose(0, 1, 3, 2, 4)
-        return Ke, Fe.reshape(B, nen, dof), emap
+    element_KF = _make_element_KF(space, ctx, order, apply_fix)
 
     slot_np = st.slot_table(space.nen_shape)
 

@@ -33,6 +33,7 @@ __all__ = [
     "accumulate_vector",
     "accumulate_matrix_dyn",
     "accumulate_vector_dyn",
+    "accumulate_matrix_dyn_planes",
     "accumulate_box",
 ]
 
@@ -329,6 +330,70 @@ def accumulate_matrix_dyn(space, A_grid, Ke, z0, slot_table):
             window = window.at[(slice(None),) + tail].add(g)
         Agv = jax.lax.dynamic_update_slice_in_dim(Agv, window, start, axis=0)
     return Agv.reshape(A_grid.shape)
+
+
+def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
+    """Slot-major shift accumulation: the plane-direct counterpart of
+    :func:`accumulate_matrix_dyn` writing straight into the Pallas flat
+    layout, so large operators are never stored node-major at all.
+
+    Args:
+      P: (sbox_rev..., dof, dof, Ne_rev...) accumulator, where
+        ``Ne_d = N_d + align_d`` is the alignment-padded node grid;
+        ``P.reshape(K·dof², prod(Ne)//128, 128)`` is the kernel layout.
+      Ke: (B, nen, nen, dof, dof) element blocks — whole slabs of the
+        slowest axis starting at traced slab index ``z0``.
+      align: per-axis high-side pads (``alignment_pads``).
+
+    Open, unit-step axes only (enforced by the caller).
+    """
+    dim = space.dim
+    dof = space.dof
+    eshape = space.elem_shape
+    nen = space.nen
+    nshape = space.nen_shape
+    p = space.degrees
+    N = space.node_shape
+    locs = _local_multi(space)
+    B = Ke.shape[0]
+    kz = B // int(np.prod(eshape[:-1])) if dim > 1 else B
+    chunk_rev = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
+    bbox_rev = tuple(nshape[::-1])
+    nsp = len(chunk_rev)
+    KeG = Ke.reshape(chunk_rev + (nen,) + bbox_rev + (dof, dof))
+    # -> (nen_a, bbox_rev..., dof, dof, chunk_rev...)
+    perm = tuple(range(nsp, nsp + 1 + dim + 2)) + tuple(range(nsp))
+    KeG = KeG.transpose(perm)
+    z_axis = dim + 2  # spatial axes follow sbox_rev + (dof, dof)
+
+    for az in range(nshape[-1]):
+        start = z0 + az
+        window = jax.lax.dynamic_slice_in_dim(P, start, kz, axis=z_axis)
+        for a in range(nen):
+            a_multi = [int(locs[d][a]) for d in range(dim)]
+            if a_multi[dim - 1] != az:
+                continue
+            g = KeG[a]  # (bbox_rev..., dof, dof, kz, E_rev[:-1]...)
+            # pad the trailing (fast) spatial axes into the aligned grid
+            pads = [(0, 0)] * g.ndim
+            for gx in range(1, dim):  # trailing axis gx = spatial dim-1-gx
+                d = dim - 1 - gx
+                a_d = a_multi[d]
+                pads[dim + 2 + gx] = (
+                    a_d,
+                    N[d] + align[d] - eshape[d] - a_d,
+                )
+            g = jnp.pad(g, pads)
+            slot_sl = tuple(
+                slice(p[dim - 1 - gx] - a_multi[dim - 1 - gx],
+                      p[dim - 1 - gx] - a_multi[dim - 1 - gx]
+                      + nshape[dim - 1 - gx])
+                for gx in range(dim)
+            )
+            idx = slot_sl + (slice(None),) * (2 + dim)
+            window = window.at[idx].add(g)
+        P = jax.lax.dynamic_update_slice_in_dim(P, window, start, axis=z_axis)
+    return P
 
 
 def accumulate_vector_dyn(space, b_grid, Fe, z0):

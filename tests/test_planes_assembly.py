@@ -1,0 +1,97 @@
+"""Slot-major (plane-direct) assembly vs the node-major reference path.
+
+``assemble_system_planes`` accumulates element blocks straight into the
+Pallas flat slot-major layout (the zero-copy single-chip route to the
+256³ assembled target, BASELINE.json) — it must reproduce
+``assemble_system`` bit-for-bit in f64: operator action, load vector,
+Dirichlet elimination, diagonals.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from petiga_tpu.core.axis import Axis
+from petiga_tpu.core.space import Space
+from petiga_tpu.models.poisson import make_space, poisson_system, poisson_system_q
+from petiga_tpu.assembly.assemble import assemble_system, assemble_system_planes
+
+F64 = jnp.float64
+
+
+@pytest.mark.parametrize("form", [poisson_system, poisson_system_q])
+def test_planes_matches_nodemajor_3d(form):
+    """Both the scanned and the q-batched MXU form paths, with Dirichlet
+    elimination, awkward chunking (kz divisor logic)."""
+    sp = make_space(3, p=2, nel=4, dtype=F64)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.4, "k": 1.3})
+    op, b2 = assemble_system_planes(
+        sp, form, {"c": 0.4, "k": 1.3}, chunk=24, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-13)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.scalar_diagonal()),
+        np.asarray(A.scalar_diagonal()),
+        atol=1e-13,
+    )
+
+
+def test_planes_dof2_blocks():
+    sp = Space([Axis.uniform(p=2, nel=5) for _ in range(2)], dof=2, dtype=F64)
+
+    def bform(pt, ctx):
+        K = jnp.outer(pt.shape0, pt.shape0) + pt.shape1 @ pt.shape1.T
+        C = jnp.asarray([[2.0, 0.3], [0.7, 1.5]])
+        return (
+            jnp.einsum("ij,ab->iajb", K, C).reshape(sp.nen * 2, sp.nen * 2),
+            jnp.zeros(sp.nen * 2),
+        )
+
+    A, _ = assemble_system(sp, bform, apply_fix=False)
+    op, _ = assemble_system_planes(sp, bform, apply_fix=False, interpret=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(sp.nnodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.diagonal()), np.asarray(A.diagonal()), atol=1e-13
+    )
+
+
+def test_planes_rejects_periodic_and_strided():
+    sp = Space([Axis.uniform(p=2, nel=4, periodic=True) for _ in range(2)],
+               dtype=F64)
+    with pytest.raises(ValueError):
+        assemble_system_planes(sp, poisson_system, interpret=True)
+    spc = Space(
+        [Axis.uniform(p=2, nel=4, continuity=0) for _ in range(2)], dtype=F64
+    )
+    with pytest.raises(ValueError):
+        assemble_system_planes(spc, poisson_system, interpret=True)
+
+
+def test_planes_packed_cg_solves_poisson():
+    """End-to-end: plane-direct assembly + packed-layout CG reproduces
+    the standard solve (the exact 256³ bench pipeline, scaled down)."""
+    from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
+
+    sp = make_space(3, p=2, nel=4, dtype=F64)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.0, "k": 1.0})
+    r_std = cg(A, b, M=jacobi_preconditioner(A), rtol=1e-10)
+    op, b2 = assemble_system_planes(
+        sp, poisson_system_q, {"c": 0.0, "k": 1.0}, interpret=True
+    )
+    dinv = op.packed_diag_inv()
+    r_pk = cg(
+        lambda v: op.matvec_xb(op.DT, v),
+        op.pack_vec(b2),
+        M=lambda r: r * dinv,
+        rtol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(op.unpack_vec(r_pk.x)), np.asarray(r_std.x), atol=1e-9
+    )
