@@ -45,6 +45,7 @@ def newton(
     chunk: Optional[int] = None,
     damping: float = 1.0,
     operator: str = "stencil",
+    jfnk_pc: Optional[Callable] = None,
 ) -> NewtonResult:
     """Solve F(U) = 0 by Newton's method with an inner Krylov solve.
 
@@ -57,6 +58,16 @@ def newton(
     stencil kernel (``StencilMatrix.fast_operator``) — the preferred
     setting on TPU; it falls back to the XLA path automatically when the
     layout is unsupported.
+
+    ``operator="jfnk"`` never assembles the Jacobian at all: inner
+    matvecs are exact AD Jacobian actions (jax.jvp of the batched
+    residual, :class:`~petiga_tpu.sparse.matfree.JacobianFreeOperator`)
+    at ~2 residual evaluations each and O(vector) memory — the route to
+    Newton at meshes whose stencil would not fit HBM.  ``jfnk_pc``
+    optionally supplies a preconditioner factory ``U -> (r -> M^{-1}r)``
+    (e.g. a Jacobi estimate from a spectrally-close
+    :class:`~petiga_tpu.sparse.matfree.MatFreeOperator`); default is
+    unpreconditioned.
     """
     from ..utils import profiling
 
@@ -67,7 +78,7 @@ def newton(
     from .krylov import gmres
 
     solver = {"cg": cg, "bicgstab": bicgstab, "gmres": gmres}[linear_solver]
-    if operator not in ("stencil", "fast"):
+    if operator not in ("stencil", "fast", "jfnk"):
         raise ValueError(f"unknown operator {operator!r}")
 
     def resid(U):
@@ -92,10 +103,19 @@ def newton(
 
     def step(st):
         U, F, fnorm, k = st
-        A = jac(U)
-        M = jacobi_preconditioner(A)
-        if operator == "fast":
-            A = A.fast_operator()
+        if operator == "jfnk":
+            from ..sparse.matfree import JacobianFreeOperator
+
+            A = JacobianFreeOperator(
+                space, function, U, ctx, aux=aux, order=order, chunk=chunk,
+                boundary=boundary,
+            )
+            M = jfnk_pc(U) if jfnk_pc is not None else None
+        else:
+            A = jac(U)
+            M = jacobi_preconditioner(A)
+            if operator == "fast":
+                A = A.fast_operator()
         res = solver(A, F, M=M, rtol=linear_rtol)
         U = U - damping * res.x.reshape(shape)
         F = resid(U)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..assembly.fastpath import _steps, is_regular
 
-__all__ = ["MatFreeOperator"]
+__all__ = ["MatFreeOperator", "JacobianFreeOperator"]
 
 
 class MatFreeOperator:
@@ -51,12 +51,24 @@ class MatFreeOperator:
     (fine for Jacobi preconditioning).
     """
 
-    def __init__(self, space, c=0.0, kappa=1.0, C=None, Kmat=None):
+    def __init__(self, space, c=0.0, kappa=1.0, C=None, Kmat=None,
+                 zchunk: Optional[int] = None):
         if not is_regular(space):
             raise ValueError("matrix-free apply requires a regular space")
         self.space = space
         self.steps = _steps(space)
         self.off0 = tuple(int(t.offset[0]) for t in space.tabs)
+        # chunked apply: bound the gather/eval temporaries to zchunk
+        # element slabs of the slowest axis at a time (a fori_loop of
+        # windowed sum-factorized applies) — required at 256³ where the
+        # unchunked closures alone are ~1.8 GB per field.  Open slowest
+        # axis only; zchunk is rounded down to a divisor of E_z.
+        self.zchunk = None
+        if zchunk is not None and space.dim > 1 and not space.periodic[-1]:
+            kz = max(1, min(int(zchunk), space.elem_shape[-1]))
+            while space.elem_shape[-1] % kz:
+                kz -= 1
+            self.zchunk = kz
         dof = space.dof
         self.C = np.asarray(
             C if C is not None else np.eye(dof) * c, np.float64
@@ -265,61 +277,193 @@ class MatFreeOperator:
             out = jnp.einsum(f"{lhs},{src}->{dst}", T, out)
         return out
 
-    def _apply_field(self, xg, c, kappa):
-        """Sum-factorized apply of one scalar field pair; returns flat
-        (nnodes,)."""
+    def _gather_win(self, xw, kz):
+        """Windowed :meth:`_gather`: closures of ``kz`` z-slabs of
+        elements from the x window ``xw`` (rows
+        ``[off0_z + ci·kz·s_z, + s_z(kz-1)+p_z+1)`` of the node grid)."""
         sp = self.space
         dim = sp.dim
+        E = sp.elem_shape
+        nsh = sp.nen_shape
+        parts = []
+        for amulti in np.ndindex(*nsh[::-1]):
+            block = xw
+            for g in range(dim):
+                d = dim - 1 - g
+                a_d = amulti[g]
+                s = self.steps[d]
+                if g == 0:  # z: window-local, open
+                    block = jax.lax.slice_in_dim(
+                        block, a_d, a_d + s * (kz - 1) + 1, stride=s, axis=0
+                    )
+                elif sp.periodic[d]:
+                    block = jnp.roll(block, -a_d, axis=g)
+                    block = jax.lax.slice_in_dim(block, 0, E[d], axis=g)
+                else:
+                    start = self.off0[d] + a_d
+                    block = jax.lax.slice_in_dim(
+                        block, start, start + s * (E[d] - 1) + 1,
+                        stride=s, axis=g,
+                    )
+            parts.append(block)
+        out = jnp.stack(parts, axis=-1)
+        return out.reshape(
+            (kz,) + tuple(E[:-1][::-1]) + tuple(nsh[::-1])
+        )
 
-        xe = self._gather(xg)  # (E_rev..., a_z, a_y, a_x)
+    def _scatter_win(self, ye, kz, Wz):
+        """Windowed :meth:`_scatter`: per-(element, a) values of ``kz``
+        z-slabs back onto a (Wz, N_rev[1:]...) node window."""
+        sp = self.space
+        dim = sp.dim
+        E = sp.elem_shape
+        N = sp.node_shape
+        nsh = sp.nen_shape
+        yw = jnp.zeros((Wz,) + tuple(N[:-1][::-1]), ye.dtype)
+        for amulti in np.ndindex(*nsh[::-1]):
+            block = ye[(Ellipsis,) + tuple(amulti)]
+            sl = []
+            for g in range(dim):
+                d = dim - 1 - g
+                a_d = amulti[g]
+                s = self.steps[d]
+                if g == 0:
+                    sl.append(slice(a_d, a_d + s * (kz - 1) + 1, s))
+                elif sp.periodic[d]:
+                    block = jnp.roll(block, a_d, axis=g)
+                    sl.append(slice(0, N[d], 1))
+                else:
+                    start = self.off0[d] + a_d
+                    sl.append(slice(start, start + s * (E[d] - 1) + 1, s))
+            yw = yw.at[tuple(sl)].add(block)
+        return yw
 
-        # values and per-axis parametric derivatives at quad points
-        fields = []
-        c_is_zero = c == 0.0
-        if not c_is_zero:
-            fields.append(("val", [self.B0[d] for d in range(dim)]))
-        for dd in range(dim):
-            fields.append((f"g{dd}", [
-                self.B1[d] if d == dd else self.B0[d] for d in range(dim)
-            ]))
-
-        evals = {name: self._contract(xe, tabs) for name, tabs in fields}
-
-        # weights (separable) on the q grid — broadcast per axis
+    def _weights(self, zslice=None):
+        """Separable quadrature weights on the (E_rev, q_rev) grid; with
+        ``zslice=(z0, kz)`` the slowest axis is restricted."""
+        sp = self.space
+        dim = sp.dim
         w = None
         for g in range(dim):
             d = dim - 1 - g
             wd = self.w1d[d]  # (E_d, Q_d)
+            if g == 0 and zslice is not None:
+                wd = jax.lax.dynamic_slice_in_dim(
+                    wd, zslice[0], zslice[1], axis=0
+                )
             shape = [1] * (2 * dim)
             shape[g] = wd.shape[0]
             shape[dim + g] = wd.shape[1]
             w_d = wd.reshape(shape)
             w = w_d if w is None else w * w_d
+        return w
 
+    def _field_tabs(self, zslice=None):
+        """(name, tabs) list for value + per-axis gradients, with the
+        slowest-axis tables restricted when windowed."""
+        dim = self.space.dim
+
+        def ztab(T):
+            if zslice is None:
+                return T
+            return jax.lax.dynamic_slice_in_dim(T, zslice[0], zslice[1], 0)
+
+        def tabs_for(dd):
+            out = []
+            for d in range(dim):
+                T = self.B1[d] if d == dd else self.B0[d]
+                out.append(ztab(T) if d == dim - 1 else T)
+            return out
+
+        fields = [("val", [ztab(T) if d == dim - 1 else T
+                           for d, T in enumerate(self.B0)])]
+        for dd in range(dim):
+            fields.append((f"g{dd}", tabs_for(dd)))
+        return fields
+
+    def _accumulate_point(self, evals, c, kappa, w, zslice=None):
+        """Pointwise coefficient application (identity or mapped)."""
+        dim = self.space.dim
         acc = {}
-        if self._G is None:
-            # identity map: gradient in physical = parametric
-            if not c_is_zero:
+        G, detJ = self._G, self._detJ
+        if zslice is not None and G is not None:
+            G = jax.lax.dynamic_slice_in_dim(G, zslice[0], zslice[1], 0)
+            detJ = jax.lax.dynamic_slice_in_dim(detJ, zslice[0], zslice[1], 0)
+        if G is None:
+            if "val" in evals:
                 acc["val"] = c * w * evals["val"]
             for dd in range(dim):
                 acc[f"g{dd}"] = kappa * w * evals[f"g{dd}"]
         else:
-            # mapped: mass picks up detJ, stiffness the pointwise metric
-            if not c_is_zero:
-                acc["val"] = c * w * self._detJ * evals["val"]
+            if "val" in evals:
+                acc["val"] = c * w * detJ * evals["val"]
             for dd in range(dim):
                 t = None
                 for ee in range(dim):
-                    term = self._G[..., dd, ee] * evals[f"g{ee}"]
+                    term = G[..., dd, ee] * evals[f"g{ee}"]
                     t = term if t is None else t + term
                 acc[f"g{dd}"] = kappa * w * t
+        return acc
 
+    def _apply_field(self, xg, c, kappa):
+        """Sum-factorized apply of one scalar field pair; returns flat
+        (nnodes,)."""
+        if self.zchunk is not None:
+            return self._apply_field_chunked(xg, c, kappa)
+        xe = self._gather(xg)  # (E_rev..., a_z, a_y, a_x)
+        fields = self._field_tabs()
+        if c == 0.0:
+            fields = fields[1:]
+        evals = {name: self._contract(xe, tabs) for name, tabs in fields}
+        w = self._weights()
+        acc = self._accumulate_point(evals, c, kappa, w)
         ye = None
         for name, tabs in fields:
             term = self._contract_T(acc[name], tabs)
             ye = term if ye is None else ye + term
-
         return self._scatter(ye).reshape(-1)
+
+    def _apply_field_chunked(self, xg, c, kappa):
+        """Windowed variant of :meth:`_apply_field`: a ``fori_loop``
+        over z-slab groups of ``zchunk`` elements keeps the closure and
+        quadrature-grid temporaries bounded — O(zchunk/E_z) of the
+        unchunked footprint — at identical results (the overlap rows
+        accumulate across iterations, which the sequential loop orders
+        deterministically)."""
+        sp = self.space
+        dim = sp.dim
+        kz = self.zchunk
+        Ez = sp.elem_shape[-1]
+        nchunks = Ez // kz
+        s_z = self.steps[dim - 1]
+        p_z = sp.degrees[dim - 1]
+        off0z = self.off0[dim - 1]
+        Wz = s_z * (kz - 1) + 1 + p_z
+        N = sp.node_shape
+        yg = jnp.zeros(tuple(N[::-1]), xg.dtype)
+
+        def body(ci, yg):
+            z0 = off0z + ci * kz * s_z
+            zsl = (ci * kz, kz)
+            xw = jax.lax.dynamic_slice_in_dim(xg, z0, Wz, axis=0)
+            xe = self._gather_win(xw, kz)
+            fields = self._field_tabs(zsl)
+            if c == 0.0:
+                fields = fields[1:]
+            evals = {name: self._contract(xe, tabs) for name, tabs in fields}
+            w = self._weights(zsl)
+            acc = self._accumulate_point(evals, c, kappa, w, zsl)
+            ye = None
+            for name, tabs in fields:
+                term = self._contract_T(acc[name], tabs)
+                ye = term if ye is None else ye + term
+            yw = self._scatter_win(ye, kz, Wz)
+            cur = jax.lax.dynamic_slice_in_dim(yg, z0, Wz, axis=0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                yg, cur + yw, z0, axis=0
+            )
+
+        return jax.lax.fori_loop(0, nchunks, body, yg).reshape(-1)
 
     def __matmul__(self, x):
         return self.matvec(x)
@@ -374,3 +518,44 @@ class MatFreeOperator:
             cols.append(total)
         out = jnp.stack(cols, axis=-1)
         return jnp.where(self.fixed, self.mult[:, None], out)
+
+
+class JacobianFreeOperator:
+    """Exact Jacobian *action* J(U)·v by forward-mode AD of the batched
+    residual — Newton–Krylov without ever materializing the stencil
+    (JFNK).  Where the reference can only Newton-solve what it can
+    assemble (petigasnes.c:82-139 builds the full matrix every
+    iteration), the AD linearization of ``assemble_function`` gives the
+    exact operator at ~2 residual evaluations per matvec and O(vector)
+    memory — the route to nonlinear problems at meshes whose assembled
+    Jacobian exceeds HBM (256³: 8.6 GB at p=2 dof=1).
+
+    Dirichlet semantics carry over exactly: fixed residual rows are
+    ``u - v`` (petigaelem.c:1441-1481), so their linearization is the
+    identity row — the same elimination the assembled path applies.
+    """
+
+    def __init__(self, space, function, U, ctx=None, *, aux=None,
+                 order=None, chunk=None, boundary=None):
+        from ..assembly.assemble import assemble_function
+
+        self.space = space
+        shape = (space.nnodes, space.dof)
+        self.U = U.reshape(shape)
+
+        def resid(V):
+            return assemble_function(
+                space, function, V, ctx, aux=aux, order=order, chunk=chunk,
+                boundary=boundary,
+            )
+
+        self._resid = resid
+
+    def matvec(self, v):
+        flat_in = v.ndim == 1
+        vv = v.reshape(self.U.shape)
+        _, Jv = jax.jvp(self._resid, (self.U,), (vv,))
+        return Jv.reshape(-1) if flat_in else Jv
+
+    def __matmul__(self, v):
+        return self.matvec(v)

@@ -110,3 +110,71 @@ def test_matfree_cg_solves_poisson():
     M = lambda r: r / d
     res = cg(op, b, M=M, rtol=1e-11)
     assert l2_error(sp, res.x) < 2e-4
+
+
+@pytest.mark.parametrize("c", [0.0, 0.3])
+def test_matfree_chunked_matches_unchunked(c):
+    """zchunk (fori_loop of windowed applies — the bounded-memory 256³
+    path) reproduces the unchunked apply, incl. periodic fast axes and
+    mapped geometry."""
+    from petiga_tpu.models.poisson import make_space
+
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(sp.nnodes, 1)))
+    A0 = MatFreeOperator(sp, c=c, kappa=1.2)
+    A1 = MatFreeOperator(sp, c=c, kappa=1.2, zchunk=2)
+    assert A1.zchunk == 2
+    np.testing.assert_allclose(
+        np.asarray(A1.matvec(x)), np.asarray(A0.matvec(x)), atol=1e-13
+    )
+    # periodic fast axis + awkward zchunk request (rounded to divisor)
+    spp = Space(
+        [Axis.uniform(p=2, nel=6, periodic=(d == 0)) for d in range(3)],
+        dtype=F64,
+    )
+    xp = jnp.asarray(np.random.default_rng(1).normal(size=(spp.nnodes, 1)))
+    B0 = MatFreeOperator(spp, c=0.5, kappa=2.0)
+    B1 = MatFreeOperator(spp, c=0.5, kappa=2.0, zchunk=4)
+    assert B1.zchunk == 3  # rounded down to a divisor of E_z=6
+    np.testing.assert_allclose(
+        np.asarray(B1.matvec(xp)), np.asarray(B0.matvec(xp)), atol=1e-13
+    )
+
+
+def test_matfree_chunked_mapped_geometry():
+    from petiga_tpu.models.poisson import make_space
+
+    sp = make_space(2, p=2, nel=6, dtype=F64)
+    # smooth non-affine map (same construction as
+    # test_matfree_mapped_geometry)
+    g = sp.greville_coordinates()
+    X = np.stack(
+        [g[:, 0] + 0.1 * np.sin(np.pi * g[:, 0]) * g[:, 1], g[:, 1]],
+        axis=1,
+    )
+    sp.init_geometry(X)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(sp.nnodes, 1)))
+    A0 = MatFreeOperator(sp, c=0.2, kappa=1.0)
+    A1 = MatFreeOperator(sp, c=0.2, kappa=1.0, zchunk=3)
+    np.testing.assert_allclose(
+        np.asarray(A1.matvec(x)), np.asarray(A0.matvec(x)), atol=1e-12
+    )
+
+
+def test_jacobian_free_operator_matches_assembled():
+    """JFNK: jvp Jacobian action == assembled AD Jacobian (Bratu),
+    incl. the Dirichlet identity rows."""
+    from petiga_tpu.models.poisson import make_space
+    from petiga_tpu.models.bratu import bratu_residual
+    from petiga_tpu.assembly.assemble import assemble_jacobian
+    from petiga_tpu.sparse.matfree import JacobianFreeOperator
+
+    sp = make_space(2, p=2, nel=5, dtype=F64)
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(0.1 * rng.normal(size=(sp.nnodes, 1)))
+    J = assemble_jacobian(sp, bratu_residual, U, {"lambda": 3.0})
+    op = JacobianFreeOperator(sp, bratu_residual, U, {"lambda": 3.0})
+    v = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(v)), np.asarray(J.matvec(v)), atol=1e-12
+    )

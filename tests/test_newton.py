@@ -92,3 +92,31 @@ def test_newton_with_inhomogeneous_bc():
     U0 = jnp.zeros((sp.nnodes, 1), F64)
     res = newton(sp, residual, U0, rtol=1e-12)
     np.testing.assert_allclose(np.asarray(res.U), 1.0, atol=1e-10)
+
+
+def test_bratu_jfnk_matches_assembled():
+    """operator='jfnk' (never assembles the Jacobian — the route to
+    nonlinear problems whose stencil exceeds HBM) reproduces the
+    assembled Newton solve."""
+    from petiga_tpu.sparse.matfree import MatFreeOperator
+
+    sp = make_space(2, p=2, nel=6, dtype=jnp.float64)
+    U0 = jnp.zeros((sp.nnodes, 1), jnp.float64)
+    ra = newton(sp, bratu_residual, U0, {"lambda": 4.0}, rtol=1e-10)
+    assert bool(ra.converged)
+    # precondition the inner CG with the Jacobi diagonal of the linear
+    # (Laplacian) part -- spectrally close to the Bratu Jacobian
+    lap = MatFreeOperator(sp, c=0.0, kappa=1.0)
+    dinv = 1.0 / lap.scalar_diagonal()
+
+    def pc(U):
+        return lambda r: r * dinv
+
+    rj = newton(
+        sp, bratu_residual, U0, {"lambda": 4.0}, rtol=1e-10,
+        operator="jfnk", jfnk_pc=pc,
+    )
+    assert bool(rj.converged)
+    np.testing.assert_allclose(
+        np.asarray(rj.U), np.asarray(ra.U), atol=1e-8
+    )
