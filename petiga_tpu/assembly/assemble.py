@@ -40,6 +40,7 @@ __all__ = [
     "compute_scalar",
     "compute_error_norm",
     "boundary_flux_vector",
+    "dirichlet_post_fix",
 ]
 
 
@@ -176,6 +177,159 @@ def _normalize_F(F, nen, dof, dtype):
     return F.reshape(nen * dof)
 
 
+_MULT_CACHE: dict = {}
+
+
+def _node_multiplicity(space) -> np.ndarray:
+    """(nnodes,) element multiplicity of every node — the Dirichlet
+    diagonal value of the reference's per-element fix summed over
+    elements (petigaelem.c:1383: each element adds 1).  Separable:
+    per-axis closure counts outer-multiplied."""
+    key = id(space)
+    if key in _MULT_CACHE:
+        return _MULT_CACHE[key]
+    dim = space.dim
+    parts = []
+    for d in range(dim):
+        m = np.zeros(space.node_shape[d])
+        p1 = space.degrees[d] + 1
+        off = np.asarray(space.tabs[d].offset)
+        idx = (off[:, None] + np.arange(p1)[None, :]) % space.node_shape[d]
+        np.add.at(m, idx.ravel(), 1.0)
+        parts.append(m)
+    g = np.ones(tuple(space.node_shape[::-1]))
+    for gax in range(dim):
+        d = dim - 1 - gax
+        shape = [1] * dim
+        shape[gax] = space.node_shape[d]
+        g = g * parts[d].reshape(shape)
+    out = g.reshape(-1)
+    _MULT_CACHE[key] = out
+    return out
+
+
+def dirichlet_post_fix(space, A, b):
+    """Global Dirichlet elimination on the *assembled* system —
+    algebraically identical to the reference's per-element FixSystem
+    (petigaelem.c:1360-1439) summed over elements: every fixed row/col
+    zeroed, the diagonal set to the node's element multiplicity, the RHS
+    lifted by the unfixed operator (``b -= A (m∘v)``) and fixed rows set
+    to ``mult · v`` (each element adds its lift, petigaelem.c:1386).
+
+    One stencil-structured masked pass over the operator plus one matvec
+    instead of per-element (B, nen², …) mask work — ~100× cheaper on TPU
+    (the per-element masks tile terribly; see BASELINE.md round-3
+    profile).  Used by the Galerkin *system* assemblers only: the
+    nonlinear residual/Jacobian paths keep element-level semantics
+    (FixValues overwrites coefficients *before* evaluation, which has no
+    post-assembly equivalent).
+
+    ``A``: StencilMatrix or a plane-direct PallasStencilOperator (open
+    axes).  Returns ``(A_fixed, b_fixed)``.
+    """
+    from ..sparse.stencil import StencilMatrix
+    from ..sparse.pallas_spmv import LANES, PallasStencilOperator
+
+    st = A.stencil
+    dim, K, dof = st.dim, st.K, st.dof
+    dt = space.dtype
+    mask_b, vals = space.device("dirichlet")
+    if not bool(np.asarray(space.dirichlet_mask()[0]).any()):
+        return A, b
+    mask = mask_b.astype(dt)
+    keep = 1.0 - mask
+    lift = mask * vals.astype(dt)
+    b2 = b - A.matvec(lift).reshape(b.shape)
+    mult = jnp.asarray(_node_multiplicity(space), dt)
+    b2 = jnp.where(mask_b, mult[:, None] * vals.astype(dt), b2 * keep)
+    offs = st.slot_offsets()
+    N = st.node_shape
+
+    if isinstance(A, PallasStencilOperator):
+        # plane layout: per-plane in-place masked multiply on the
+        # (alignment-padded, open) extended grid; sequential donated
+        # updates keep peak memory at one plane array (256³: 8.6 GB).
+        Ne = A.Ne
+        gp = A._gpads
+        keep_g = keep.reshape(tuple(N[::-1]) + (dof,))
+        keep_e = jnp.pad(keep_g, list(gp) + [(0, 0)])
+        padw = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
+        keep_p = jnp.pad(keep_e, padw)  # zero beyond boundary
+        dadd_g = (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,))
+        dadd_e = jnp.pad(dadd_g, list(gp) + [(0, 0)])
+        nflat = int(np.prod(Ne))
+
+        wins = []
+        for s in range(K):
+            sl = []
+            for g in range(dim):
+                d = dim - 1 - g
+                o = int(offs[s, d])
+                p = st.widths[d]
+                sl.append(slice(p + o, p + o + Ne[::-1][g]))
+            wins.append(tuple(sl))
+
+        from functools import partial as _partial
+
+        @_partial(jax.jit, donate_argnums=0)
+        def fix_planes(DT, keep_e, keep_p, dadd_e):
+            pads = ((0, 0), (0, A.M * LANES - nflat))
+            for s in range(K):
+                win = keep_p[wins[s]]  # (Ne_rev..., dof)
+                for a in range(dof):
+                    ka = jnp.pad(
+                        keep_e[..., a].reshape(1, -1), pads
+                    ).reshape(A.M, LANES)
+                    for bb in range(dof):
+                        kb = jnp.pad(
+                            win[..., bb].reshape(1, -1), pads
+                        ).reshape(A.M, LANES)
+                        i = (s * dof + a) * dof + bb
+                        DT = DT.at[i].set(DT[i] * ka * kb)
+            for a in range(dof):
+                da = jnp.pad(
+                    dadd_e[..., a].reshape(1, -1), pads
+                ).reshape(A.M, LANES)
+                i = (st.diag_slot * dof + a) * dof + a
+                DT = DT.at[i].set(DT[i] + da)
+            return DT
+
+        DT2 = fix_planes(A.DT, keep_e, keep_p, dadd_e)
+        A2 = PallasStencilOperator.from_planes(
+            st, DT2, A.align, interpret=A.interpret
+        )
+        return A2, b2
+
+    # node-major StencilMatrix
+    keep_g = keep.reshape(tuple(N[::-1]) + (dof,))
+    pad = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
+    modes = [st.periodic[dim - 1 - g] for g in range(dim)]
+    kp = keep_g
+    for g in range(dim):
+        pw = [(0, 0)] * (dim + 1)
+        pw[g] = pad[g]
+        kp = jnp.pad(kp, pw, mode="wrap" if modes[g] else "constant")
+    dg = A.data.reshape(tuple(N[::-1]) + (K, dof, dof))
+    planes = []
+    for s in range(K):
+        sl = []
+        for g in range(dim):
+            d = dim - 1 - g
+            o = int(offs[s, d])
+            p = st.widths[d]
+            sl.append(slice(p + o, p + o + N[::-1][g]))
+        win = kp[tuple(sl)]  # (N_rev..., dof)
+        planes.append(
+            dg[..., s, :, :] * keep_g[..., :, None] * win[..., None, :]
+        )
+    dg2 = jnp.stack(planes, axis=dim)
+    dadd = (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,))
+    eye = jnp.eye(dof, dtype=dt)
+    dg2 = dg2.at[..., st.diag_slot, :, :].add(dadd[..., :, None] * eye)
+    A2 = StencilMatrix(st, dg2.reshape(st.nnodes, K, dof, dof))
+    return A2, b2
+
+
 def _make_element_KF(space, ctx, order, apply_fix):
     """Per-chunk element (K, F) evaluator shared by the node-major and
     the slot-major (plane-direct) system assemblers.
@@ -281,7 +435,10 @@ def assemble_system_planes(
     ids, valid = _chunks(space, chunk_sz)
     assert ids.shape[0] == nchunks
 
-    element_KF = _make_element_KF(space, ctx, order, apply_fix)
+    # Dirichlet handled POST-assembly (dirichlet_post_fix — algebraically
+    # identical to per-element FixSystem for the Galerkin system, ~100x
+    # cheaper than the per-element masks on TPU)
+    element_KF = _make_element_KF(space, ctx, order, False)
 
     sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
     P = jnp.zeros(sbox_rev + (dof, dof) + tuple(Ne[::-1]), dt)
@@ -305,8 +462,10 @@ def assemble_system_planes(
     op = PallasStencilOperator.from_planes(
         st, P.reshape(planes, M, LANES), align, interpret=interpret
     )
-    flux = boundary_flux_vector(space)
     b = b_grid.reshape(st.nnodes, dof)
+    if apply_fix:
+        op, b = dirichlet_post_fix(space, op, b)
+    flux = boundary_flux_vector(space)
     if flux is not None:
         mask, _ = space.device("dirichlet")
         b = b + jnp.where(mask, 0.0, flux.astype(dt))
@@ -323,9 +482,14 @@ def assemble_system(
     chunk: Optional[int] = None,
     apply_fix: bool = True,
     method: str = "auto",
+    fix: str = "element",
 ):
     """Assemble (A, b) from a Galerkin system form
     (IGAComputeSystem, petigaksp.c:149-202).
+
+    ``fix="post"`` applies the Dirichlet elimination globally after
+    assembly (:func:`dirichlet_post_fix` — algebraically identical,
+    ~100x cheaper on TPU than the per-element masks).
 
     ``system(pt, ctx) -> (K, F)`` at one quadrature point, with
     K reshapeable to (nen*dof, nen*dof) and F to (nen*dof).
@@ -351,9 +515,14 @@ def assemble_system(
     fast = method != "scatter" and fastpath.is_regular(space)
     if method == "shift" and not fast:
         raise ValueError("shift method requires a regular (non-collocation) space")
+    if fix not in ("element", "post"):
+        raise ValueError(f"unknown fix mode {fix!r}")
+    post_fix = apply_fix and fix == "post"
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
-    element_KF = _make_element_KF(space, ctx, order, apply_fix)
+    element_KF = _make_element_KF(
+        space, ctx, order, apply_fix and not post_fix
+    )
 
     slot_np = st.slot_table(space.nen_shape)
 
@@ -437,6 +606,10 @@ def assemble_system(
                                 jnp.ones(len(fids), bool))
         A_data = A_flat.reshape(st.nnodes, st.K, dof, dof)
 
+    A = StencilMatrix(st, A_data)
+    if post_fix:
+        A, b = dirichlet_post_fix(space, A, b)
+
     flux = boundary_flux_vector(space)
     if flux is not None:
         # nodal fluxes are added before the Dirichlet overwrite; fixed
@@ -445,7 +618,6 @@ def assemble_system(
         mask, _ = space.device("dirichlet")
         b = b + jnp.where(mask, 0.0, flux.astype(dt))
 
-    A = StencilMatrix(st, A_data)
     return A, b
 
 

@@ -82,23 +82,30 @@ LANES = 128
 VMEM_BUDGET = 14 * 2**20
 
 
-def _ext_shape(stencil, align=None):
-    """Extended node shape: periodic axes padded by p on both sides,
-    plus optional per-axis high-side alignment pads."""
+def _default_pads(stencil, align=None):
+    """Per-spatial-axis (lo, hi) grid pads: periodic halo (p, p) plus
+    optional high-side alignment pads."""
     al = align if align is not None else (0,) * stencil.dim
     return tuple(
-        N + (2 * p if per else 0) + a
-        for N, p, per, a in zip(
-            stencil.node_shape, stencil.widths, stencil.periodic, al
-        )
+        (p, p + a) if per else (0, a)
+        for p, per, a in zip(stencil.widths, stencil.periodic, al)
     )
 
 
-def _flat_shifts(stencil, align=None) -> np.ndarray:
+def _ext_shape(stencil, align=None, pads=None):
+    """Extended node shape from explicit or derived pads."""
+    if pads is None:
+        pads = _default_pads(stencil, align)
+    return tuple(
+        N + lo + hi for N, (lo, hi) in zip(stencil.node_shape, pads)
+    )
+
+
+def _flat_shifts(stencil, align=None, pads=None) -> np.ndarray:
     """(K,) constant flat-index shift per slot in the extended index
     space (axis-0 fastest)."""
     offs = stencil.slot_offsets()  # (K, dim)
-    Ne = _ext_shape(stencil, align)
+    Ne = _ext_shape(stencil, align, pads)
     c = np.zeros(offs.shape[0], dtype=np.int64)
     stride = 1
     for d in range(stencil.dim):
@@ -140,7 +147,7 @@ def alignment_pads(stencil, lanes: int = LANES):
     return tuple(best[1])
 
 
-def _plan(stencil, itemsize: int = 4, align=None):
+def _plan(stencil, itemsize: int = 4, align=None, pads=None):
     """VMEM plan: (kind, rows, guard, M, next).
 
     kind "vmem": x + guards VMEM-resident alongside the double-buffered
@@ -149,10 +156,10 @@ def _plan(stencil, itemsize: int = 4, align=None):
     Returns None when nothing fits (very large K·dof²)."""
     K, dof = stencil.K, stencil.dof
     planes = K * dof * dof
-    Ne = _ext_shape(stencil, align)
+    Ne = _ext_shape(stencil, align, pads)
     next_ = int(np.prod(Ne))
     M = math.ceil(next_ / LANES)
-    c = _flat_shifts(stencil, align)
+    c = _flat_shifts(stencil, align, pads)
     G = int(np.max(np.abs(c))) // LANES + 2
     for r in (128, 64, 32, 16, 8):
         Mp = math.ceil(M / r) * r
@@ -351,7 +358,8 @@ class PallasStencilOperator:
     """
 
     def __init__(self, A=None, interpret: bool | None = None, *,
-                 stencil=None, align=None, dtype=None, force_kind=None):
+                 stencil=None, align=None, dtype=None, force_kind=None,
+                 ext_pads=None):
         self.A = A
         self.st = st = A.stencil if A is not None else stencil
         if interpret is None:
@@ -362,7 +370,12 @@ class PallasStencilOperator:
         dtype = A.data.dtype if A is not None else dtype
         itemsize = jnp.dtype(dtype).itemsize
         self.align = align
-        plan = _plan(st, itemsize, align)
+        # per-spatial-axis (lo, hi) grid pads: explicit (the shard_map
+        # halo-frame layout) or derived (periodic halo + alignment)
+        pads = (tuple(ext_pads) if ext_pads is not None
+                else _default_pads(st, align))
+        self.pads = pads
+        plan = _plan(st, itemsize, pads=pads)
         self.ok = plan is not None
         if not self.ok:
             return
@@ -377,33 +390,18 @@ class PallasStencilOperator:
         self.kind, self.rows, self.G, M, next_ = plan
         dim, K, dof = st.dim, st.K, st.dof
         N = st.node_shape
-        p = st.widths
-        self.Ne = Ne = _ext_shape(st, align)
+        self.Ne = _ext_shape(st, pads=pads)
         self.next = next_
         self.M = M
-        self.Mp = Mp = math.ceil(M / self.rows) * self.rows
+        self.Mp = math.ceil(M / self.rows) * self.rows
         self.dof = dof
-        self.shifts = tuple(int(v) for v in _flat_shifts(st, align))
-        # grid pad spec: periodic halo (lo, hi) + alignment hi pad
-        # (grid layout = reversed axes)
-        al = align if align is not None else (0,) * dim
-        self._gpads = []
-        for g in range(dim):
-            d = dim - 1 - g
-            lo = p[d] if st.periodic[d] else 0
-            hi = lo + al[d]
-            self._gpads.append((lo, hi))
+        self.shifts = tuple(int(v) for v in _flat_shifts(st, pads=pads))
+        # grid layout = reversed axes
+        self._gpads = [pads[dim - 1 - g] for g in range(dim)]
         self._any_per = any(st.periodic)
-        if A is not None:
-            # pack matrix planes on the extended grid: halo rows zero
-            dg = A.data.reshape(tuple(N[::-1]) + (K * dof * dof,))
-            if any(pp != (0, 0) for pp in self._gpads):
-                dg = jnp.pad(dg, self._gpads + [(0, 0)])
-            DT = dg.reshape(next_, K * dof * dof).T
-            DT = jnp.pad(DT, ((0, 0), (0, M * LANES - next_)))
-            self.DT = DT.reshape(K * dof * dof, M, LANES)
-        else:
-            self.DT = None  # supplied via from_planes
+        self.DT = self.pack_planes(
+            A.data.reshape(tuple(N[::-1]) + (K * dof * dof,))
+        ) if A is not None else None  # else supplied via from_planes
 
     @classmethod
     def from_planes(cls, stencil, DT, align, interpret=None):
@@ -425,6 +423,28 @@ class PallasStencilOperator:
 
     # ------------------------------------------------------------- packing
 
+    def pack_planes(self, data_grid):
+        """(N_rev..., K·dof²) grid-layout slot data -> (K·dof², M, 128)
+        kernel planes (halo/pad rows zero).  Jittable — this is also the
+        per-solve local pack the distributed solvers run inside
+        shard_map (one pass over the local operator)."""
+        st = self.st
+        planes = st.K * st.dof * st.dof
+        if any(pp != (0, 0) for pp in self._gpads):
+            data_grid = jnp.pad(data_grid, self._gpads + [(0, 0)])
+        DT = data_grid.reshape(self.next, planes).T
+        DT = jnp.pad(DT, ((0, 0), (0, self.M * LANES - self.next)))
+        return DT.reshape(planes, self.M, LANES)
+
+    def pack_ext(self, x_ext):
+        """Pack an ALREADY-extended grid (Ne_rev..., dof) — e.g. the
+        shard_map halo-exchanged local block — into the kernel vector
+        layout (dof·(G+Mp+G), 128)."""
+        xT = x_ext.reshape(self.next, self.st.dof).T
+        pad_lo = self.G * LANES
+        pad_hi = (self.G + self.Mp) * LANES - self.next
+        return jnp.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
+
     def _pack_x(self, x):
         """(nnodes, dof) -> (dof·(G+Mp+G), 128) on the extended grid
         with wrap halos for periodic axes."""
@@ -438,15 +458,12 @@ class PallasStencilOperator:
                 pw = [(0, 0)] * (dim + 1)
                 pw[g] = (lo, lo)
                 xg = jnp.pad(xg, pw, mode="wrap")
-                hi = hi - lo
-            if hi > 0:
+                lo, hi = 0, hi - lo
+            if (lo, hi) != (0, 0):
                 pw = [(0, 0)] * (dim + 1)
-                pw[g] = (0, hi)
+                pw[g] = (lo, hi)
                 xg = jnp.pad(xg, pw)
-        xT = xg.reshape(self.next, st.dof).T  # (dof, next)
-        pad_lo = self.G * LANES
-        pad_hi = (self.G + self.Mp) * LANES - self.next
-        return jnp.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
+        return self.pack_ext(xg)
 
     def _unpack_y(self, y):
         """(dof, M or Mp, 128) -> (nnodes, dof): crop the extended

@@ -95,3 +95,48 @@ def test_planes_packed_cg_solves_poisson():
     np.testing.assert_allclose(
         np.asarray(op.unpack_vec(r_pk.x)), np.asarray(r_std.x), atol=1e-9
     )
+
+
+def test_post_fix_equivalence():
+    """dirichlet_post_fix == per-element FixSystem summed, bit-for-bit
+    on A and to 1e-13 on b: inhomogeneous values, periodic axes, fix
+    tables, and the assemble_system(fix='post') switch."""
+    from petiga_tpu.assembly.assemble import dirichlet_post_fix
+
+    sp = make_space(3, p=2, nel=4, dtype=F64)
+    sp.set_boundary_value(0, 0, 0, 1.5)
+    sp.set_boundary_value(2, 1, 0, -0.7)
+    A_el, b_el = assemble_system(sp, poisson_system, {"c": 0.2, "k": 1.0})
+    A_pf, b_pf = assemble_system(
+        sp, poisson_system, {"c": 0.2, "k": 1.0}, fix="post"
+    )
+    np.testing.assert_allclose(
+        np.asarray(A_pf.data), np.asarray(A_el.data), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(b_pf), np.asarray(b_el), atol=1e-13
+    )
+    # periodic middle axis
+    sp2 = Space(
+        [Axis.uniform(p=2, nel=4, periodic=(d == 1)) for d in range(3)],
+        dtype=F64,
+    )
+    for d in (0, 2):
+        for s in range(2):
+            sp2.set_boundary_value(d, s, 0, 0.3 * d - 0.1 * s)
+    A2, b2 = assemble_system(sp2, poisson_system, {"c": 0.0, "k": 1.0})
+    Ar, br = assemble_system(
+        sp2, poisson_system, {"c": 0.0, "k": 1.0}, apply_fix=False
+    )
+    Ap, bp = dirichlet_post_fix(sp2, Ar, br)
+    np.testing.assert_allclose(np.asarray(Ap.data), np.asarray(A2.data))
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(b2), atol=1e-13)
+    # fix table
+    sp3 = make_space(2, p=2, nel=5, dtype=F64)
+    sp3.set_fix_table(np.random.default_rng(0).normal(size=(sp3.nnodes, 1)))
+    Ae, be = assemble_system(sp3, poisson_system, {"c": 0.0, "k": 1.0})
+    Af, bf = assemble_system(
+        sp3, poisson_system, {"c": 0.0, "k": 1.0}, fix="post"
+    )
+    np.testing.assert_allclose(np.asarray(Af.data), np.asarray(Ae.data))
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(be), atol=1e-13)
