@@ -208,6 +208,144 @@ def _node_multiplicity(space) -> np.ndarray:
     return out
 
 
+_POSTFIX_CACHE: dict = {}
+
+
+def _postfix_planes_fn(st, meta):
+    """Cached jitted (DT, b, mask, vals, mult) -> (DT2, b2) for the
+    plane layout.  ``meta`` = (Ne, gpads, M, shifts, dof, kind, rows, G,
+    interpret) — hashable static layout; one trace/compile per layout,
+    DT donated so the fix stays single-copy in HBM (256³: 8.6 GB)."""
+    from ..sparse.pallas_spmv import LANES, _flat_spmv, _flat_spmv_hbm
+
+    key = ("planes", st, meta)
+    if key in _POSTFIX_CACHE:
+        return _POSTFIX_CACHE[key]
+    Ne, gpads, M, shifts, dof, kind, rows, G, interpret = meta
+    dim, K = st.dim, st.K
+    N = st.node_shape
+    offs = st.slot_offsets()
+    nflat = int(np.prod(Ne))
+    Mp = -(-M // rows) * rows
+    kernel = _flat_spmv if kind == "vmem" else _flat_spmv_hbm
+    wins = []
+    for s in range(K):
+        sl = []
+        for g in range(dim):
+            d = dim - 1 - g
+            o = int(offs[s, d])
+            p = st.widths[d]
+            sl.append(slice(p + o, p + o + Ne[::-1][g]))
+        wins.append(tuple(sl))
+    tail = ((0, 0), (0, M * LANES - nflat))
+
+    def flat(grid_field):  # (Ne_rev,) -> (M, 128)
+        return jnp.pad(grid_field.reshape(1, -1), tail).reshape(M, LANES)
+
+    def run(DT, b, mask, vals, mult):
+        dt = DT.dtype
+        mask = mask.astype(dt)
+        vals = vals.astype(dt)
+        keep = 1.0 - mask
+        lift = mask * vals
+        # b2 = b - A_unfixed @ lift through the kernel
+        lg = jnp.pad(lift.reshape(tuple(N[::-1]) + (dof,)),
+                     list(gpads) + [(0, 0)])
+        xT = lg.reshape(nflat, dof).T
+        xb = jnp.pad(
+            xT, ((0, 0), (G * LANES, (G + Mp) * LANES - nflat))
+        ).reshape(-1, LANES)
+        y = kernel(DT, xb, shifts=shifts, dof=dof, guard=G, rows=rows,
+                   interpret=interpret)
+        y = y.reshape(dof, -1)[:, :nflat].T.reshape(
+            tuple(Ne[::-1]) + (dof,))
+        sl = tuple(
+            slice(lo, lo + N[dim - 1 - g])
+            for g, (lo, _) in enumerate(gpads)
+        )
+        Alift = y[sl].reshape(b.shape)
+        b2 = b - Alift
+        b2 = jnp.where(mask > 0, mult[:, None] * vals, b2 * keep)
+
+        keep_e = jnp.pad(keep.reshape(tuple(N[::-1]) + (dof,)),
+                         list(gpads) + [(0, 0)])
+        padw = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)]
+        keep_p = jnp.pad(keep_e, padw + [(0, 0)])
+        dadd_e = jnp.pad(
+            (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,)),
+            list(gpads) + [(0, 0)],
+        )
+        for s in range(K):
+            win = keep_p[wins[s]]
+            for a in range(dof):
+                ka = flat(keep_e[..., a])
+                for bb in range(dof):
+                    kb = flat(win[..., bb])
+                    i = (s * dof + a) * dof + bb
+                    DT = DT.at[i].set(DT[i] * ka * kb)
+        for a in range(dof):
+            i = (st.diag_slot * dof + a) * dof + a
+            DT = DT.at[i].set(DT[i] + flat(dadd_e[..., a]))
+        return DT, b2
+
+    fn = jax.jit(run, donate_argnums=0)
+    _POSTFIX_CACHE[key] = fn
+    return fn
+
+
+def _postfix_node_fn(st):
+    """Cached jitted (data, b, mask, vals, mult) -> (data2, b2) for
+    node-major stencil storage (open or periodic axes)."""
+    key = ("node", st)
+    if key in _POSTFIX_CACHE:
+        return _POSTFIX_CACHE[key]
+    from ..sparse.stencil import StencilMatrix, stencil_apply
+
+    dim, K, dof = st.dim, st.K, st.dof
+    N = st.node_shape
+    offs = st.slot_offsets()
+
+    def run(data, b, mask, vals, mult):
+        dt = data.dtype
+        mask = mask.astype(dt)
+        vals = vals.astype(dt)
+        keep = 1.0 - mask
+        lift = mask * vals
+        Alift = StencilMatrix(st, data).matvec(lift)
+        b2 = b - Alift.reshape(b.shape)
+        b2 = jnp.where(mask > 0, mult[:, None] * vals, b2 * keep)
+        keep_g = keep.reshape(tuple(N[::-1]) + (dof,))
+        pad = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)]
+        modes = [st.periodic[dim - 1 - g] for g in range(dim)]
+        kp = keep_g
+        for g in range(dim):
+            pw = [(0, 0)] * (dim + 1)
+            pw[g] = pad[g]
+            kp = jnp.pad(kp, pw, mode="wrap" if modes[g] else "constant")
+        dg = data.reshape(tuple(N[::-1]) + (K, dof, dof))
+        planes = []
+        for s in range(K):
+            sl = []
+            for g in range(dim):
+                d = dim - 1 - g
+                o = int(offs[s, d])
+                p = st.widths[d]
+                sl.append(slice(p + o, p + o + N[::-1][g]))
+            win = kp[tuple(sl)]  # (N_rev..., dof)
+            planes.append(
+                dg[..., s, :, :] * keep_g[..., :, None] * win[..., None, :]
+            )
+        dg2 = jnp.stack(planes, axis=dim)
+        dadd = (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,))
+        eye = jnp.eye(dof, dtype=dt)
+        dg2 = dg2.at[..., st.diag_slot, :, :].add(dadd[..., :, None] * eye)
+        return dg2.reshape(st.nnodes, K, dof, dof), b2
+
+    fn = jax.jit(run, donate_argnums=0)
+    _POSTFIX_CACHE[key] = fn
+    return fn
+
+
 def dirichlet_post_fix(space, A, b):
     """Global Dirichlet elimination on the *assembled* system —
     algebraically identical to the reference's per-element FixSystem
@@ -225,109 +363,35 @@ def dirichlet_post_fix(space, A, b):
     post-assembly equivalent).
 
     ``A``: StencilMatrix or a plane-direct PallasStencilOperator (open
-    axes).  Returns ``(A_fixed, b_fixed)``.
+    axes).  Returns ``(A_fixed, b_fixed)``.  One jitted program per
+    stencil layout (cached), operator buffer donated.
     """
     from ..sparse.stencil import StencilMatrix
-    from ..sparse.pallas_spmv import LANES, PallasStencilOperator
+    from ..sparse.pallas_spmv import PallasStencilOperator
 
     st = A.stencil
-    dim, K, dof = st.dim, st.K, st.dof
-    dt = space.dtype
-    mask_b, vals = space.device("dirichlet")
-    if not bool(np.asarray(space.dirichlet_mask()[0]).any()):
+    if not any(
+        space.bc[d][s].value
+        for d in range(space.dim)
+        for s in range(2)
+    ):
         return A, b
-    mask = mask_b.astype(dt)
-    keep = 1.0 - mask
-    lift = mask * vals.astype(dt)
-    b2 = b - A.matvec(lift).reshape(b.shape)
-    mult = jnp.asarray(_node_multiplicity(space), dt)
-    b2 = jnp.where(mask_b, mult[:, None] * vals.astype(dt), b2 * keep)
-    offs = st.slot_offsets()
-    N = st.node_shape
+    mask_b, vals = space.device("dirichlet")
+    mult = jnp.asarray(_node_multiplicity(space), space.dtype)
 
     if isinstance(A, PallasStencilOperator):
-        # plane layout: per-plane in-place masked multiply on the
-        # (alignment-padded, open) extended grid; sequential donated
-        # updates keep peak memory at one plane array (256³: 8.6 GB).
-        Ne = A.Ne
-        gp = A._gpads
-        keep_g = keep.reshape(tuple(N[::-1]) + (dof,))
-        keep_e = jnp.pad(keep_g, list(gp) + [(0, 0)])
-        padw = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
-        keep_p = jnp.pad(keep_e, padw)  # zero beyond boundary
-        dadd_g = (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,))
-        dadd_e = jnp.pad(dadd_g, list(gp) + [(0, 0)])
-        nflat = int(np.prod(Ne))
-
-        wins = []
-        for s in range(K):
-            sl = []
-            for g in range(dim):
-                d = dim - 1 - g
-                o = int(offs[s, d])
-                p = st.widths[d]
-                sl.append(slice(p + o, p + o + Ne[::-1][g]))
-            wins.append(tuple(sl))
-
-        from functools import partial as _partial
-
-        @_partial(jax.jit, donate_argnums=0)
-        def fix_planes(DT, keep_e, keep_p, dadd_e):
-            pads = ((0, 0), (0, A.M * LANES - nflat))
-            for s in range(K):
-                win = keep_p[wins[s]]  # (Ne_rev..., dof)
-                for a in range(dof):
-                    ka = jnp.pad(
-                        keep_e[..., a].reshape(1, -1), pads
-                    ).reshape(A.M, LANES)
-                    for bb in range(dof):
-                        kb = jnp.pad(
-                            win[..., bb].reshape(1, -1), pads
-                        ).reshape(A.M, LANES)
-                        i = (s * dof + a) * dof + bb
-                        DT = DT.at[i].set(DT[i] * ka * kb)
-            for a in range(dof):
-                da = jnp.pad(
-                    dadd_e[..., a].reshape(1, -1), pads
-                ).reshape(A.M, LANES)
-                i = (st.diag_slot * dof + a) * dof + a
-                DT = DT.at[i].set(DT[i] + da)
-            return DT
-
-        DT2 = fix_planes(A.DT, keep_e, keep_p, dadd_e)
+        meta = (A.Ne, tuple(A._gpads), A.M, A.shifts, A.dof, A.kind,
+                A.rows, A.G, A.interpret)
+        fn = _postfix_planes_fn(st, meta)
+        DT2, b2 = fn(A.DT, b, mask_b, vals, mult)
         A2 = PallasStencilOperator.from_planes(
             st, DT2, A.align, interpret=A.interpret
         )
         return A2, b2
 
-    # node-major StencilMatrix
-    keep_g = keep.reshape(tuple(N[::-1]) + (dof,))
-    pad = [(st.widths[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
-    modes = [st.periodic[dim - 1 - g] for g in range(dim)]
-    kp = keep_g
-    for g in range(dim):
-        pw = [(0, 0)] * (dim + 1)
-        pw[g] = pad[g]
-        kp = jnp.pad(kp, pw, mode="wrap" if modes[g] else "constant")
-    dg = A.data.reshape(tuple(N[::-1]) + (K, dof, dof))
-    planes = []
-    for s in range(K):
-        sl = []
-        for g in range(dim):
-            d = dim - 1 - g
-            o = int(offs[s, d])
-            p = st.widths[d]
-            sl.append(slice(p + o, p + o + N[::-1][g]))
-        win = kp[tuple(sl)]  # (N_rev..., dof)
-        planes.append(
-            dg[..., s, :, :] * keep_g[..., :, None] * win[..., None, :]
-        )
-    dg2 = jnp.stack(planes, axis=dim)
-    dadd = (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,))
-    eye = jnp.eye(dof, dtype=dt)
-    dg2 = dg2.at[..., st.diag_slot, :, :].add(dadd[..., :, None] * eye)
-    A2 = StencilMatrix(st, dg2.reshape(st.nnodes, K, dof, dof))
-    return A2, b2
+    fn = _postfix_node_fn(st)
+    data2, b2 = fn(A.data, b, mask_b, vals, mult)
+    return StencilMatrix(st, data2), b2
 
 
 def _make_element_KF(space, ctx, order, apply_fix):

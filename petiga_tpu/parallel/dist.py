@@ -66,7 +66,7 @@ class DistSpace:
     per-device local blocks.
     """
 
-    def __init__(self, space, devices=None, pgrid=None):
+    def __init__(self, space, devices=None, pgrid=None, use_pallas=None):
         self.space = space
         dim = space.dim
         devices = jax.devices() if devices is None else devices
@@ -94,6 +94,33 @@ class DistSpace:
         self.Np = tuple(self.L[d] * self.pgrid[d] for d in range(dim))
         self.widths = space.degrees
         self.st = stencil_of(space)
+
+        # Per-device Pallas SpMV on the halo-extended local block: the
+        # (L_d + 2 p_d) frame is an open regular grid in which every
+        # stencil slot is a constant flat shift (halo matrix rows are
+        # zero) — exactly the serial flat-slot-major packing, with the
+        # halo data coming from the ppermute exchange instead of a wrap.
+        # Without this every distributed solve rides the XLA slot-loop
+        # path (~0.5% of roofline on hardware, BENCH_r02).
+        if use_pallas is None:
+            use_pallas = jax.default_backend() in ("tpu", "axon")
+        self._pk = None
+        if use_pallas:
+            from ..sparse.stencil import Stencil
+            from ..sparse.pallas_spmv import PallasStencilOperator
+
+            lst = Stencil(
+                node_shape=self.L,
+                widths=self.widths,
+                periodic=(False,) * dim,
+                dof=space.dof,
+            )
+            pk = PallasStencilOperator(
+                stencil=lst,
+                dtype=space.dtype,
+                ext_pads=tuple((p, p) for p in self.widths),
+            )
+            self._pk = pk if pk.ok else None
 
         self._partition_elements()
 
@@ -873,7 +900,27 @@ class DistSpace:
         ) + (slice(None),)
         return ext.at[interior].set(0.0)
 
-    def matvec_local(self, data_loc, x_loc, overlap=True):
+    def local_pallas_planes(self, data_loc):
+        """Pack a local operator block (L_rev..., K, dof, dof) into the
+        per-device Pallas plane layout — once per solve, inside
+        shard_map.  Returns None when the kernel is disabled or the
+        layout is unsupported."""
+        if self._pk is None:
+            return None
+        dof = self.space.dof
+        return self._pk.pack_planes(
+            data_loc.reshape(tuple(self.L[::-1]) + (self.st.K * dof * dof,))
+        )
+
+    def _pallas_apply_ext(self, DT_loc, x_ext):
+        """Kernel apply on an extended local block -> (L_rev..., dof)."""
+        pk = self._pk
+        y = pk._kernel(DT_loc, pk.pack_ext(x_ext))
+        return pk._unpack_y(y).reshape(
+            tuple(self.L[::-1]) + (self.space.dof,)
+        )
+
+    def matvec_local(self, data_loc, x_loc, overlap=True, DT_loc=None):
         """Local SpMV with forward halo (inside shard_map):
         data_loc (L_rev..., K, dof, dof), x_loc (L_rev..., dof).
 
@@ -884,7 +931,11 @@ class DistSpace:
         ``stencil_apply(data, zero-padded local x)`` has no collective
         dependence, so XLA schedules it between collective-permute-start
         and -done; only the O(surface·p) frame correction waits for the
-        halo."""
+        halo.
+
+        With ``DT_loc`` (from :meth:`local_pallas_planes`) the bulk
+        apply runs through the flat Pallas kernel instead of the XLA
+        slot loop; the O(surface·p) frame correction stays XLA."""
         offs = self.st.slot_offsets()
         sp = self.space
         dim = sp.dim
@@ -894,14 +945,19 @@ class DistSpace:
             for g in range(dim):
                 if p[dim - 1 - g] > 0 and Lrev[g] < 2 * p[dim - 1 - g]:
                     overlap = False  # face slabs would overlap
+        pad = [(p[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
         if not overlap:
             xp = self.halo_gather(x_loc)
+            if DT_loc is not None and self._pk is not None:
+                return self._pallas_apply_ext(DT_loc, xp)
             return stencil_apply(data_loc, xp, self.widths, offs)
 
         # interior: depends only on the local block
-        pad = [(p[dim - 1 - g],) * 2 for g in range(dim)] + [(0, 0)]
         xp0 = jnp.pad(x_loc, pad)
-        y = stencil_apply(data_loc, xp0, self.widths, offs)
+        if DT_loc is not None and self._pk is not None:
+            y = self._pallas_apply_ext(DT_loc, xp0)
+        else:
+            y = stencil_apply(data_loc, xp0, self.widths, offs)
 
         # frame correction from the halo-only shell, onion-decomposed so
         # every boundary row is corrected exactly once
@@ -982,7 +1038,8 @@ class DistSpace:
         data_loc = data_loc.reshape(tuple(self.L[::-1]) + (st.K, dof, dof))
         b_loc = b_loc.reshape(tuple(self.L[::-1]) + (dof,))
         Mv = self._pc_local(data_loc, pc)
-        Av = lambda v: self.matvec_local(data_loc, v)
+        DT_loc = self.local_pallas_planes(data_loc)  # once per solve
+        Av = lambda v: self.matvec_local(data_loc, v, DT_loc=DT_loc)
 
         def dot(a, c):
             return self._psum_all(jnp.sum(a * c))
@@ -1028,7 +1085,8 @@ class DistSpace:
         b_loc = b_loc.reshape(tuple(self.L[::-1]) + (dof,))
         dt = b_loc.dtype
         Mv = self._pc_local(data_loc, pc)
-        Av = lambda v: self.matvec_local(data_loc, v)
+        DT_loc = self.local_pallas_planes(data_loc)  # once per solve
+        Av = lambda v: self.matvec_local(data_loc, v, DT_loc=DT_loc)
 
         def dot(a, c):
             return self._psum_all(jnp.sum(a * c))
@@ -1084,7 +1142,8 @@ class DistSpace:
         shape = b_loc.shape
         n = b_loc.size
         Mv = self._pc_local(data_loc, pc)
-        Av = lambda v: self.matvec_local(data_loc, v)
+        DT_loc = self.local_pallas_planes(data_loc)  # once per solve
+        Av = lambda v: self.matvec_local(data_loc, v, DT_loc=DT_loc)
 
         def dot(a, c):
             return self._psum_all(jnp.sum(a * c))
