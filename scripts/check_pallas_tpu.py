@@ -40,10 +40,38 @@ def block_form(dof):
     return form
 
 
+def run_dist_case():
+    """Per-device kernel through the real shard_map path on ONE chip
+    (1-device mesh): the distributed matvec must match the serial XLA
+    matvec bit-for-bit in structure (same halo-frame layout real
+    multi-chip solves use)."""
+    from petiga_tpu.parallel.dist import DistSpace
+    from petiga_tpu.models.poisson import make_space, poisson_system
+
+    sp = make_space(3, p=2, nel=16, dtype=jnp.float32)
+    ds = DistSpace(sp, devices=jax.devices()[:1], use_pallas=True)
+    if ds._pk is None:
+        return {"case": "dist_1dev_pallas", "ok": False,
+                "note": "kernel plan unsupported"}
+    data, b = ds.assemble_system(poisson_system, {"c": 0.0, "k": 1.0})
+    x, it, res = ds.cg(data, b, rtol=1e-6)
+    from petiga_tpu.models.poisson import l2_error
+    err = float(l2_error(sp, np.asarray(ds.crop_flat(x))))
+    return {"case": "dist_1dev_pallas", "iters": int(it),
+            "residual": float(res), "l2": err,
+            "ok": bool(np.isfinite(err) and err < 1e-3)}
+
+
 CASES = [
     ("open_p2_16", dict(p=2, nel=16, periodic=False, dof=1)),
     ("periodic_p2_16", dict(p=2, nel=16, periodic=True, dof=1)),
     ("dof3_p1_12", dict(p=1, nel=12, periodic=False, dof=3)),
+    # the double-buffered DMA-window variant (the 256^3 layout where x
+    # exceeds the VMEM budget), forced at testable size
+    ("hbm_open_p2_16", dict(p=2, nel=16, periodic=False, dof=1,
+                            force="hbm")),
+    ("hbm_dof2_p1_12", dict(p=1, nel=12, periodic=False, dof=2,
+                            force="hbm")),
 ]
 
 
@@ -65,7 +93,7 @@ def run_case(name, cfg):
         lambda: assemble_system(sp, form, apply_fix=False)[0].data
     )()
     A = StencilMatrix(stencil_of(sp), data)
-    op = PallasStencilOperator(A)
+    op = PallasStencilOperator(A, force_kind=cfg.get("force"))
     assert op.ok, name
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(sp.nnodes, dof)), jnp.float32)
@@ -87,6 +115,7 @@ def run_case(name, cfg):
     err_pal = float(np.max(np.abs(np.asarray(y_pal) - yh)) / scale)
     err_xla = float(np.max(np.abs(np.asarray(y_xla) - yh)) / scale)
     return {"case": name, "rel_err": err_pal, "rel_err_xla": err_xla,
+            "kind": op.kind,
             "compile_s": round(compile_s, 1), "nnodes": sp.nnodes,
             "ok": bool(err_pal < 1e-5 and err_xla < 1e-5)}
 
@@ -97,6 +126,9 @@ def main():
         r = run_case(name, cfg)
         print(json.dumps(r), flush=True)
         out["cases"].append(r)
+    r = run_dist_case()
+    print(json.dumps(r), flush=True)
+    out["cases"].append(r)
     out["all_ok"] = all(c["ok"] for c in out["cases"])
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/pallas_tpu_check.json", "w") as f:
