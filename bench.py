@@ -1,22 +1,29 @@
 #!/usr/bin/env python
-"""Benchmark: 3D Poisson p=2 on one chip (toward the BASELINE.json
-256^3 v5e-16 target; 128^3 is the largest single-chip size whose
-stencil storage + assembly temporaries fit comfortably in 16 GB HBM —
-see BASELINE.md "memory math").
+"""Benchmark: 3D Poisson p=2 (BASELINE.json targets).
 
-Measures assembled-operator throughput (nnz/s), stencil SpMV through
-BOTH the XLA slot-loop path and the Pallas flat-layout kernel
-(sparse/pallas_spmv.py), and a Jacobi-CG solve running through the
-Pallas operator.  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+Round-3 pipeline (see BASELINE.md for the round-2→3 methodology fixes):
+
+  * 128³ single chip — plane-direct (slot-major) assembly with the
+    q-batched MXU form and post-assembly Dirichlet elimination, then a
+    Jacobi-CG solve that stays entirely in the packed Pallas kernel
+    layout (pack b once, iterate packed, unpack x once).
+  * 256³ single chip — the BASELINE.json end-to-end row: the same
+    pipeline at 256³ (the HBM-windowed kernel variant: packed x exceeds
+    VMEM), CG to rtol 1e-8, plus the matrix-free (sum-factorized,
+    chunked) cross-check of the same solve.
 
 Timing methodology (remote axon TPU): ``jax.block_until_ready`` does
 NOT block on this backend — execution is queued server-side and only a
-data FETCH waits, and the queue executes IN ORDER, so fetching one tiny
+data FETCH waits; the queue executes IN ORDER, so fetching one tiny
 scalar is a full device barrier.  Every measurement below is
-barrier-delimited, and per-op times come from differencing two loop
-lengths (cancels the ~0.5 s fetch round trip and any constant
-dispatch/launch overheads).
+barrier-delimited with NO data fetch inside the timed region.  Form
+coefficients enter as device scalars so repeated assemblies reuse ONE
+executable — round 2 unknowingly timed a recompile per repeat (Python-
+float ctx values were embedded as HLO constants), which is why its
+31.7 Mnnz/s was far below the real steady-state rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
 vs_baseline is relative to a *modeled* (not measured) reference rate of
 5e7 nnz/s for PetIGA's single-core MatSetValues assembly path — see
@@ -46,152 +53,173 @@ def barrier():
     return float(_tiny(jnp.ones((2, 2), jnp.float32)))
 
 
-def measure_rtt(n=3):
+def scalar_nnz(sp):
+    nnz = 1
+    for N, p in zip(sp.node_shape, sp.degrees):
+        i = np.arange(N)
+        nnz *= int(np.sum(np.minimum(i + p, N - 1) - np.maximum(i - p, 0) + 1))
+    return nnz
+
+
+def bench_mesh(NEL, chunk, solve_rtol, matfree=False):
+    """Assembly + packed-CG numbers for one mesh size."""
+    from petiga_tpu.models.poisson import (
+        exact_solution,
+        make_space,
+        poisson_system_q,
+    )
+    from petiga_tpu.assembly.assemble import (
+        assemble_system_planes,
+        compute_error_norm,
+    )
+    from petiga_tpu.solve.krylov import cg
+
+    sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
+    nnz = scalar_nnz(sp)
+    out = {"nnz": nnz}
+
+    def asm(kval):
+        return assemble_system_planes(
+            sp, poisson_system_q, {"c": 0.0, "k": kval},
+            chunk=chunk, order=1,
+            # at 256³ the scan cannot alias the 8.9 GB plane carry in
+            # place on a 16 GB chip — use the donated per-chunk loop
+            donate_loop=(NEL > 128),
+        )
+
     barrier()
-    ts = []
-    for _ in range(n):
-        t0 = time.time()
+    t0 = time.time()
+    op, b = asm(jnp.float32(1.0))
+    barrier()
+    out["compile_s"] = round(time.time() - t0, 1)
+    reps = 3 if NEL <= 128 else 1
+    t0 = time.time()
+    for i in range(reps):
+        op, b = asm(jnp.float32(1.0 + 1e-6 * i))
+    barrier()
+    t_asm = (time.time() - t0) / reps
+    out["assembly_s"] = round(t_asm, 4)
+    out["assembly_Mnnz_s"] = round(nnz / t_asm / 1e6, 1)
+    out["pallas_kind"] = op.kind
+
+    DT = op.DT
+    dinv = op.packed_diag_inv()
+
+    @jax.jit
+    def solve(DT, b, dinv):
+        r = cg(
+            lambda v: op.matvec_xb(DT, v),
+            op.pack_vec(b),
+            M=lambda z: z * dinv,
+            rtol=solve_rtol,
+            maxiter=2000,
+        )
+        return op.unpack_vec(r.x), r.iters, r.residual
+
+    x, iters, res = solve(DT, b, dinv)  # compile + run
+    iters = int(iters)
+    # min of 3 timed runs: the shared remote compile server adds
+    # load-dependent noise on top of the device time
+    times = []
+    for _ in range(3):
         barrier()
-        ts.append(time.time() - t0)
-    return min(ts)
+        t0 = time.time()
+        x, it2, res = solve(DT, b, dinv)
+        barrier()
+        times.append(time.time() - t0)
+    t_solve = min(times)
+    out["cg_iters"] = iters
+    out["cg_residual"] = float(res)
+    out["solve_s"] = round(t_solve, 3)
+    out["cg_ms_per_iter"] = round(1e3 * t_solve / max(iters, 1), 2)
+
+    # pure packed-matvec rate by loop-length differencing
+    def mv_loop(n):
+        @jax.jit
+        def loop(DT, xb):
+            def body(i, v):
+                y = op.matvec_xb(DT, v)
+                return y / jnp.sqrt(jnp.vdot(y, y))
+
+            y = jax.lax.fori_loop(0, n, body, xb)
+            return jnp.vdot(y, y)
+
+        return loop
+
+    xb0 = op.pack_vec(b)
+    lo, hi = mv_loop(5), mv_loop(55)
+    float(lo(DT, xb0))
+    float(hi(DT, xb0))
+    barrier()
+    t0 = time.time()
+    float(lo(DT, xb0))
+    t_lo = time.time() - t0
+    t0 = time.time()
+    float(hi(DT, xb0))
+    t_hi = time.time() - t0
+    t_mv = (t_hi - t_lo) / 50
+    st = op.stencil
+    sol = st.nnodes * st.K * 4 / 819e9
+    out["spmv_pallas_us"] = round(t_mv * 1e6, 1)
+    out["spmv_pallas_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
+    out["spmv_pallas_roofline_frac"] = round(sol / t_mv, 3)
+
+    # L2 error vs the manufactured solution (correctness witness)
+    err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
+    out["l2_error"] = err
+
+    if matfree:
+        from petiga_tpu.sparse.matfree import MatFreeOperator
+
+        A = MatFreeOperator(sp, c=0.0, kappa=1.0, zchunk=16)
+        minv = 1.0 / A.scalar_diagonal()
+
+        @jax.jit
+        def solve_mf(b):
+            r = cg(A, b, M=lambda z: z * minv, rtol=solve_rtol, maxiter=2000)
+            return r.x, r.iters, r.residual
+
+        xm, itm, resm = solve_mf(b)
+        itm = int(itm)
+        barrier()
+        t0 = time.time()
+        xm, itm2, resm = solve_mf(b * 1.0000001)
+        barrier()
+        out["matfree_solve_s"] = round(time.time() - t0, 3)
+        out["matfree_iters"] = itm
+        out["matfree_residual"] = float(resm)
+        out["matfree_vs_assembled_max_diff"] = float(
+            jnp.max(jnp.abs(xm - x))
+        )
+    return sp, out
 
 
 def main():
-    from petiga_tpu.models.poisson import make_space, poisson_system
-    from petiga_tpu.assembly.assemble import assemble_system, stencil_of
-    from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
-    from petiga_tpu.sparse.stencil import StencilMatrix
-    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+    rtt0 = barrier()  # connect
+    out128 = {}
+    sp128, out128 = bench_mesh(128, chunk=131072, solve_rtol=1e-6)
 
-    NEL = 128
-    P = 2
-    CHUNK = 32768
-    dtype = jnp.float32
-
-    sp = make_space(3, p=P, nel=NEL, dtype=dtype)
-    st = stencil_of(sp)
-
-    # exact scalar nnz (separable: product over axes of summed window sizes)
-    def axis_nnz(N, p):
-        i = np.arange(N)
-        lo = np.maximum(i - p, 0)
-        hi = np.minimum(i + p, N - 1)
-        return int(np.sum(hi - lo + 1))
-
-    nnz = 1
-    for N, p in zip(sp.node_shape, sp.degrees):
-        nnz *= axis_nnz(N, p)
-
-    # NOTE: no outer jit around assembly — big host tables would be
-    # embedded as HLO constants and overflow the remote-compile request
-    # limit; the chunk scan inside assemble_system is still one compiled
-    # program with the ids as runtime arguments.
-    def assemble(scale=1.0):
-        A, b = assemble_system(
-            sp, poisson_system, {"c": 0.0, "k": scale}, chunk=CHUNK
+    out256 = {}
+    try:
+        _, out256 = bench_mesh(
+            256, chunk=65536, solve_rtol=1e-8, matfree=True
         )
-        return A.data, b
-
-    barrier()
-    t0 = time.time()
-    A_data, b = assemble()
-    barrier()
-    compile_s = time.time() - t0
-    print(f"# assembled, compile+run {compile_s:.1f}s", flush=True)
-
-    rtt = measure_rtt()
-    print(f"# rtt {rtt*1e3:.0f}ms", flush=True)
-
-    # k-scale varied per repeat so the server cannot serve cached results
-    def time_assemblies(n, eps):
-        barrier()
-        t0 = time.time()
-        for i in range(n):
-            out = assemble(1.0 + eps * (i + 1))
-        barrier()
-        return time.time() - t0
-
-    t1 = time_assemblies(1, 1e-7)
-    t3 = time_assemblies(3, 1e-6)
-    t_asm = (t3 - t1) / 2
-    nnz_per_s = nnz / t_asm
-    print(f"# assembly {t_asm:.3f}s", flush=True)
-
-    A = StencilMatrix(st, A_data)
-    op = PallasStencilOperator(A)
-    assert op.ok, "Pallas operator must support the bench layout"
-    DT = op.DT
-
-    # operator data passes as jit ARGUMENTS (embedding the 1.1 GB
-    # planes as constants overflows the remote-compile limit); per-op
-    # time from differencing two loop lengths.
-    def time_matvec(mv, data, n_lo=5, n_hi=55):
-        def loop_fn(n):
-            @jax.jit
-            def loop(data, x):
-                def body(i, x):
-                    y = mv(data, x)
-                    return y / jnp.sqrt(jnp.vdot(y, y))
-                y = jax.lax.fori_loop(0, n, body, x)
-                return jnp.vdot(y, y)
-            return loop
-
-        x = jnp.ones((sp.nnodes, 1), dtype)
-        lo, hi = loop_fn(n_lo), loop_fn(n_hi)
-        float(lo(data, x)); float(hi(data, x))  # compile + warm
-        barrier()
-        t0 = time.time(); float(lo(data, x)); t_lo = time.time() - t0
-        t0 = time.time(); float(hi(data, x)); t_hi = time.time() - t0
-        return (t_hi - t_lo) / (n_hi - n_lo)
-
-    t_xla = time_matvec(lambda d, x: StencilMatrix(st, d).matvec(x), A_data)
-    print(f"# xla matvec {t_xla*1e6:.0f}us", flush=True)
-    t_pal = time_matvec(op.matvec_packed, DT)
-    print(f"# pallas matvec {t_pal*1e6:.0f}us", flush=True)
-    # HBM roofline: read the stencil matrix once.  Stencil storage
-    # streams nnodes*K entries (incl. boundary zero slots); at 128^3 p=2
-    # that is 1.6% above nnz.  ~819 GB/s on v5e.
-    stream_bytes = st.nnodes * st.K * 4
-    sol = stream_bytes / 819e9
-
-    @jax.jit
-    def solve(A_data, DT, b):
-        Am = StencilMatrix(st, A_data)
-        M = jacobi_preconditioner(Am)
-        r = cg(lambda x: op.matvec_packed(DT, x), b, M=M, rtol=1e-6,
-               maxiter=2000)
-        return r.x, r.iters, r.residual
-
-    xsol, iters, res = solve(A_data, DT, b)
-    iters = int(iters)  # fetch forces the solve (compile + run)
-    barrier()
-    t0 = time.time()
-    xsol, it2, res = solve(A_data, DT, b * 1.0000001)
-    res = float(res)
-    t_solve = time.time() - t0 - rtt
+    except Exception as e:  # record the failure, keep the 128³ line
+        out256 = {"error": f"{type(e).__name__}: {e}"[:300]}
 
     baseline = 5e7  # nnz/s: MODELED reference single-core MatSetValues
     # assembly rate (BASELINE.md); not a measured number.
+    rate = out128["assembly_Mnnz_s"] * 1e6
     out = {
-        "metric": f"poisson3d_p2_{NEL}_assembly",
-        "value": round(nnz_per_s / 1e6, 2),
+        "metric": "poisson3d_p2_128_assembly",
+        "value": round(rate / 1e6, 2),
         "unit": "Mnnz/s",
-        "vs_baseline": round(nnz_per_s / baseline, 2),
+        "vs_baseline": round(rate / baseline, 2),
         "baseline_model": "5e7 nnz/s modeled single-core MatSetValues (BASELINE.md)",
-        "mesh": f"{NEL}^3 p{P}",
-        "nnz": nnz,
-        "assembly_s": round(t_asm, 4),
-        "spmv_pallas_gflops": round(2 * nnz / t_pal / 1e9, 2),
-        "spmv_pallas_roofline_frac": round(sol / t_pal, 3),
-        "spmv_xla_gflops": round(2 * nnz / t_xla / 1e9, 2),
-        "spmv_xla_roofline_frac": round(sol / t_xla, 3),
-        "spmv_pallas_us": round(t_pal * 1e6, 1),
-        "cg_iters": iters,
-        "cg_residual": res,
-        "solve_s": round(t_solve, 3),
-        "compile_s": round(compile_s, 1),
-        "rtt_s": round(rtt, 3),
-        "timing": "in-order-queue barrier + loop-length differencing",
+        "mesh": "128^3 p2 (+ 256^3 end-to-end extras)",
+        "timing": "in-order-queue barrier, device-scalar ctx (no recompiles), no fetch inside timed regions",
+        "m128": out128,
+        "m256": out256,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))

@@ -453,6 +453,8 @@ def assemble_system_planes(
     chunk: Optional[int] = None,
     apply_fix: bool = True,
     interpret: Optional[bool] = None,
+    donate_loop: bool = False,
+    row_aligned: Optional[bool] = None,
 ):
     """Slot-major (plane-direct) system assembly: element blocks
     accumulate straight into the Pallas flat slot-major plane layout, so
@@ -483,9 +485,17 @@ def assemble_system_planes(
             "plane-direct assembly requires a regular unit-step space"
         )
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
-    align = alignment_pads(st)
     dt = space.dtype
     dim, dof = space.dim, space.dof
+    # row-aligned mode (3-D): the plane array lives in the kernel's
+    # (planes, M, 128) layout throughout — mandatory once the planes are
+    # a significant fraction of HBM (grid-shaped materialization
+    # lane-pads the minor spatial dim 1.5x and copies; OOM at 256³)
+    est = st.K * dof * dof * st.nnodes * jnp.dtype(dt).itemsize
+    if row_aligned is None:
+        row_aligned = dim == 3 and est > 2 * 2**30
+    row_aligned = bool(row_aligned) and dim == 3
+    align = alignment_pads(st, row_aligned=row_aligned)
     Ne = tuple(N + a for N, a in zip(space.node_shape, align))
     eshape = space.elem_shape
     slab = int(np.prod(eshape[:-1])) if dim > 1 else 1
@@ -504,8 +514,12 @@ def assemble_system_planes(
     # cheaper than the per-element masks on TPU)
     element_KF = _make_element_KF(space, ctx, order, False)
 
-    sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
-    P = jnp.zeros(sbox_rev + (dof, dof) + tuple(Ne[::-1]), dt)
+    planes_n = st.K * dof * dof
+    M = int(np.prod(Ne)) // 128
+    if row_aligned:
+        P = jnp.zeros((planes_n, M, 128), dt)
+    else:
+        P = jnp.zeros((planes_n,) + tuple(Ne[::-1]), dt)
     b_grid = jnp.zeros(tuple(space.node_shape[::-1]) + (dof,), dt)
 
     def chunk_step(carry, xs):
@@ -516,15 +530,30 @@ def assemble_system_planes(
         bg = fastpath.accumulate_vector_dyn(space, bg, Fe, c * kz)
         return (P, bg), None
 
-    (P, b_grid), _ = jax.lax.scan(
-        chunk_step,
-        (P, b_grid),
-        (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
-    )
-    planes = st.K * dof * dof
-    M = int(np.prod(Ne)) // LANES
+    if donate_loop:
+        # lax.scan may fail to alias the multi-GB plane carry in place
+        # (observed at 256³: the 8.9 GB carry double-buffers and OOMs a
+        # 16 GB chip).  An eager per-chunk loop over a DONATED jitted
+        # step guarantees single-copy accumulation at the cost of one
+        # dispatch per chunk.
+        step = jax.jit(
+            lambda P, bg, ids_c, valid_c, c: chunk_step(
+                (P, bg), (ids_c, valid_c, c)
+            )[0],
+            donate_argnums=(0, 1),
+        )
+        for c in range(nchunks):
+            P, b_grid = step(
+                P, b_grid, ids[c], valid[c], jnp.asarray(c, jnp.int32)
+            )
+    else:
+        (P, b_grid), _ = jax.lax.scan(
+            chunk_step,
+            (P, b_grid),
+            (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
+        )
     op = PallasStencilOperator.from_planes(
-        st, P.reshape(planes, M, LANES), align, interpret=interpret
+        st, P.reshape(planes_n, M, LANES), align, interpret=interpret
     )
     b = b_grid.reshape(st.nnodes, dof)
     if apply_fix:

@@ -338,17 +338,39 @@ def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
     layout, so large operators are never stored node-major at all.
 
     Args:
-      P: (sbox_rev..., dof, dof, Ne_rev...) accumulator, where
-        ``Ne_d = N_d + align_d`` is the alignment-padded node grid;
+      P: (K·dof², Ne_rev...) accumulator, where ``Ne_d = N_d + align_d``
+        is the alignment-padded node grid;
         ``P.reshape(K·dof², prod(Ne)//128, 128)`` is the kernel layout.
+        (Stored FLAT on the leading axis: carrying the degenerate
+        (sbox..., dof, dof) dims across jit boundaries makes XLA pick a
+        tile-padded layout — observed 1.5× memory expansion plus a full
+        layout copy of the 8.3 GB array at 256³.)
       Ke: (B, nen, nen, dof, dof) element blocks — whole slabs of the
         slowest axis starting at traced slab index ``z0``.
       align: per-axis high-side pads (``alignment_pads``).
 
     Open, unit-step axes only (enforced by the caller).
+
+    When ``P`` arrives in the kernel layout ``(planes, M, 128)`` (the
+    row-aligned mode: prod of the fast axes divisible by 128, see
+    ``alignment_pads(row_aligned=True)``), windows are whole-row slices
+    of the M axis and only the small per-chunk window is ever viewed
+    grid-shaped — the multi-GB plane array itself never takes a
+    lane-padded layout.
     """
     dim = space.dim
     dof = space.dof
+    if P.ndim == 3:
+        return _accumulate_planes_rowaligned(space, P, Ke, z0, align)
+    sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
+    flat_shape = P.shape
+    # dof == 1: SQUEEZE the dof dims out of every view — XLA puts
+    # degenerate (1, 1) dims minor-most and tile-pads the array 1.5x
+    # (observed 12.5 GB for the 8.3 GB planes at 256³, with layout
+    # copies on top → OOM)
+    dofdims = (dof, dof) if dof > 1 else ()
+    nd = len(dofdims)
+    P = P.reshape(sbox_rev + dofdims + P.shape[1:])
     eshape = space.elem_shape
     nen = space.nen
     nshape = space.nen_shape
@@ -360,11 +382,11 @@ def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
     chunk_rev = (kz,) + tuple(eshape[:-1][::-1]) if dim > 1 else (kz,)
     bbox_rev = tuple(nshape[::-1])
     nsp = len(chunk_rev)
-    KeG = Ke.reshape(chunk_rev + (nen,) + bbox_rev + (dof, dof))
-    # -> (nen_a, bbox_rev..., dof, dof, chunk_rev...)
-    perm = tuple(range(nsp, nsp + 1 + dim + 2)) + tuple(range(nsp))
+    KeG = Ke.reshape(chunk_rev + (nen,) + bbox_rev + dofdims)
+    # -> (nen_a, bbox_rev...[, dof, dof], chunk_rev...)
+    perm = tuple(range(nsp, nsp + 1 + dim + nd)) + tuple(range(nsp))
     KeG = KeG.transpose(perm)
-    z_axis = dim + 2  # spatial axes follow sbox_rev + (dof, dof)
+    z_axis = dim + nd  # spatial axes follow sbox_rev [+ (dof, dof)]
 
     for az in range(nshape[-1]):
         start = z0 + az
@@ -373,13 +395,13 @@ def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
             a_multi = [int(locs[d][a]) for d in range(dim)]
             if a_multi[dim - 1] != az:
                 continue
-            g = KeG[a]  # (bbox_rev..., dof, dof, kz, E_rev[:-1]...)
+            g = KeG[a]  # (bbox_rev...[, dof, dof], kz, E_rev[:-1]...)
             # pad the trailing (fast) spatial axes into the aligned grid
             pads = [(0, 0)] * g.ndim
             for gx in range(1, dim):  # trailing axis gx = spatial dim-1-gx
                 d = dim - 1 - gx
                 a_d = a_multi[d]
-                pads[dim + 2 + gx] = (
+                pads[dim + nd + gx] = (
                     a_d,
                     N[d] + align[d] - eshape[d] - a_d,
                 )
@@ -390,9 +412,71 @@ def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
                       + nshape[dim - 1 - gx])
                 for gx in range(dim)
             )
-            idx = slot_sl + (slice(None),) * (2 + dim)
+            idx = slot_sl + (slice(None),) * (nd + dim)
             window = window.at[idx].add(g)
         P = jax.lax.dynamic_update_slice_in_dim(P, window, start, axis=z_axis)
+    return P.reshape(flat_shape)
+
+
+def _accumulate_planes_rowaligned(space, P, Ke, z0, align):
+    """Row-aligned variant of :func:`accumulate_matrix_dyn_planes`:
+    P stays (planes, M, 128); each slowest-axis layer is
+    ``rpz = prod(fast Ne)/128`` whole rows, so z-windows are contiguous
+    row slices and only the (small) window is reshaped grid-shaped."""
+    dim = space.dim
+    assert dim == 3, "row-aligned planes accumulation is 3-D"
+    dof = space.dof
+    sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
+    dofdims = (dof, dof) if dof > 1 else ()
+    nd = len(dofdims)
+    eshape = space.elem_shape
+    nen = space.nen
+    nshape = space.nen_shape
+    p = space.degrees
+    N = space.node_shape
+    Ne = tuple(N[d] + align[d] for d in range(dim))
+    LANES = 128
+    rpz = (Ne[0] * Ne[1]) // LANES
+    assert rpz * LANES == Ne[0] * Ne[1]
+    planes = P.shape[0]
+    locs = _local_multi(space)
+    B = Ke.shape[0]
+    kz = B // int(np.prod(eshape[:-1]))
+    chunk_rev = (kz,) + tuple(eshape[:-1][::-1])
+    bbox_rev = tuple(nshape[::-1])
+    nsp = len(chunk_rev)
+    KeG = Ke.reshape(chunk_rev + (nen,) + bbox_rev + dofdims)
+    perm = tuple(range(nsp, nsp + 1 + dim + nd)) + tuple(range(nsp))
+    KeG = KeG.transpose(perm)
+
+    for az in range(nshape[-1]):
+        start = (z0 + az) * rpz
+        window = jax.lax.dynamic_slice_in_dim(P, start, kz * rpz, axis=1)
+        wv = window.reshape(
+            sbox_rev + dofdims + (kz, Ne[1], Ne[0])
+        )
+        for a in range(nen):
+            a_multi = [int(locs[d][a]) for d in range(dim)]
+            if a_multi[dim - 1] != az:
+                continue
+            g = KeG[a]  # (bbox_rev...[, dof, dof], kz, Ey, Ex)
+            pads = [(0, 0)] * g.ndim
+            for gx in range(1, dim):
+                d = dim - 1 - gx
+                a_d = a_multi[d]
+                pads[dim + nd + gx] = (
+                    a_d, Ne[d] - eshape[d] - a_d,
+                )
+            g = jnp.pad(g, pads)
+            slot_sl = tuple(
+                slice(p[dim - 1 - gx] - a_multi[dim - 1 - gx],
+                      p[dim - 1 - gx] - a_multi[dim - 1 - gx]
+                      + nshape[dim - 1 - gx])
+                for gx in range(dim)
+            )
+            wv = wv.at[slot_sl + (slice(None),) * (nd + dim)].add(g)
+        window = wv.reshape(planes, kz * rpz, LANES)
+        P = jax.lax.dynamic_update_slice_in_dim(P, window, start, axis=1)
     return P
 
 

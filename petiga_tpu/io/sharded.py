@@ -6,12 +6,14 @@ petigagrid.c:469-576): every rank writes/reads its own block of the
 natural-order vector and MPI-IO glues the file together.  The TPU-native
 analog: every *host* writes exactly the shards it can address
 (``jax.Array.addressable_shards``) as individual ``.npy`` files next to
-a tiny JSON manifest holding the padded-grid geometry; no host ever
-materialises the global vector.  Because each shard records its slice
-into the *padded natural-order grid*, a checkpoint written under one
-process grid loads under any other (or serially) — the same
-mesh-independence contract as :mod:`.checkpoint`, extended to
-multi-host.
+a tiny JSON manifest holding the padded-grid geometry, and on load each
+device block is assembled from only the source shards overlapping it —
+neither direction materialises the global vector on any host (except
+the explicit serial path ``load_sharded(ds=None)``).  Because each
+shard records its slice into the *padded natural-order grid*, a
+checkpoint written under one process grid loads under any other (or
+serially) — the same mesh-independence contract as :mod:`.checkpoint`,
+extended to multi-host.
 
 Layout on disk (``<dir>/<name>.meta.json`` + ``<dir>/<name>.shard<k>.npy``)::
 
@@ -123,8 +125,12 @@ def load_sharded(dirpath: str, name: str = "U", *, ds=None):
     With ``ds`` given, returns a padded grid array sharded over ``ds``'s
     mesh — the target process grid may differ from the one that wrote
     the checkpoint (repartitioning restart, the property petigagrid.c's
-    natural-order scatters exist for).  Without ``ds``, returns the flat
-    natural-order ``(nnodes, dof)`` numpy array.
+    natural-order scatters exist for).  Each device block is assembled
+    from only the source shards overlapping it, so a multi-host process
+    never reads shards outside its addressable blocks and never
+    materialises the global vector.  Without ``ds``, the full flat
+    natural-order ``(nnodes, dof)`` numpy array is gathered on the host
+    (the serial/debug path).
     """
     with open(_manifest_path(dirpath, name)) as f:
         meta = json.load(f)
@@ -135,25 +141,68 @@ def load_sharded(dirpath: str, name: str = "U", *, ds=None):
     pgrid = meta["pgrid"]
     dof = meta["dof"]
     dim = len(N)
-    Np = [L[d] * pgrid[d] for d in range(dim)]
-    g = np.zeros(tuple(Np[::-1]) + (dof,), np.dtype(meta["dtype"]))
-    for sh in meta["shards"]:
-        sl = tuple(
-            slice(s, s + n) for s, n in zip(sh["start"], sh["shape"])
-        )
-        g[sl] = np.load(os.path.join(dirpath, sh["file"]))
-    crop = tuple(slice(0, N[d]) for d in range(dim))[::-1]
-    flat = g[crop].reshape(-1, dof)
+    dtype = np.dtype(meta["dtype"])
+
     if ds is None:
-        return flat
+        Np = [L[d] * pgrid[d] for d in range(dim)]
+        g = np.zeros(tuple(Np[::-1]) + (dof,), dtype)
+        for sh in meta["shards"]:
+            sl = tuple(
+                slice(s, s + n) for s, n in zip(sh["start"], sh["shape"])
+            )
+            g[sl] = np.load(os.path.join(dirpath, sh["file"]))
+        crop = tuple(slice(0, N[d]) for d in range(dim))[::-1]
+        return g[crop].reshape(-1, dof)
+
     sp = ds.space
     if list(sp.node_shape) != N or sp.dof != dof:
         raise ValueError(
             f"checkpoint grid {N}x{dof} does not match space "
             f"{sp.node_shape}x{sp.dof}"
         )
-    padded = ds.pad_grid(jnp.asarray(flat, sp.dtype))
-    return jax.device_put(padded, ds.sharding(ds.grid_spec(1)))
+    # real-region extent per grid axis g (reversed layout): both the
+    # source and target padded grids share the origin and crop to N
+    real = [N[dim - 1 - g] for g in range(dim)]
+    global_shape = tuple(ds.Np[::-1]) + (dof,)
+    cache: dict = {}
+
+    def shard_arr(sh):
+        f = sh["file"]
+        if f not in cache:
+            cache[f] = np.load(os.path.join(dirpath, f))
+        return cache[f]
+
+    def build_block(index):
+        # normalize (None starts/stops on full-extent slices)
+        norm = [
+            s.indices(global_shape[g]) for g, s in enumerate(index)
+        ]
+        out = np.zeros(
+            tuple(hi - lo for lo, hi, _ in norm), sp.dtype
+        )
+        t_lo = [norm[g][0] for g in range(dim)]
+        t_hi = [norm[g][1] for g in range(dim)]
+        for sh in meta["shards"]:
+            lo = [max(t_lo[g], sh["start"][g]) for g in range(dim)]
+            hi = [
+                min(t_hi[g], sh["start"][g] + sh["shape"][g], real[g])
+                for g in range(dim)
+            ]
+            if any(lo[g] >= hi[g] for g in range(dim)):
+                continue
+            src = tuple(
+                slice(lo[g] - sh["start"][g], hi[g] - sh["start"][g])
+                for g in range(dim)
+            ) + (slice(None),)
+            dst = tuple(
+                slice(lo[g] - t_lo[g], hi[g] - t_lo[g]) for g in range(dim)
+            ) + (slice(None),)
+            out[dst] = shard_arr(sh)[src]
+        return out
+
+    return jax.make_array_from_callback(
+        global_shape, ds.sharding(ds.grid_spec(1)), build_block
+    )
 
 
 def sharded_to_petiga_binary(dirpath: str, space, path: str,

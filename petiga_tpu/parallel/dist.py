@@ -43,6 +43,7 @@ from ..assembly.assemble import (
     _fix_system,
     _normalize_F,
     _normalize_K,
+    _points_of,
     _scan_points,
     boundary_flux_vector,
     stencil_of,
@@ -887,6 +888,118 @@ class DistSpace:
 
     # ------------------------------------------------------------------ spmv
 
+    # ---------------------------------------------------------- collocation
+
+    def _partition_points(self):
+        """Per-device padded point-id arrays in mesh layout
+        (m_rev..., nloc): collocation rows are the *nodes* themselves,
+        so the point partition is exactly the node-box partition — the
+        role of the reference's Greville-shifted collocation partition
+        (petiga.c:1211-1274).  Local enumeration is box-grid order
+        (reversed C-order), matching the local block layout."""
+        sp = self.space
+        dim = sp.dim
+        N = sp.node_shape
+        nloc = int(np.prod(self.L))
+        lgrids = np.meshgrid(
+            *[np.arange(l) for l in self.L[::-1]], indexing="ij"
+        )  # reversed-axis order
+        mesh_shape = tuple(self.pgrid[::-1])
+        ndev = int(np.prod(self.pgrid))
+        ids = np.zeros((ndev,) + tuple(self.L[::-1]), np.int64)
+        valid = np.zeros((ndev,) + tuple(self.L[::-1]), bool)
+        for k, coords in enumerate(np.ndindex(*mesh_shape)):
+            flat = np.zeros(tuple(self.L[::-1]), np.int64)
+            ok = np.ones(tuple(self.L[::-1]), bool)
+            stride = 1
+            for d in range(dim):
+                g = dim - 1 - d  # grid axis of spatial axis d
+                j = coords[g] * self.L[d] + lgrids[g]
+                ok &= j < N[d]
+                flat += np.minimum(j, N[d] - 1) * stride
+                stride *= N[d]
+            ids[k] = flat
+            valid[k] = ok
+        ids = ids.reshape(mesh_shape + (nloc,))
+        valid = valid.reshape(mesh_shape + (nloc,))
+        return jnp.asarray(ids.astype(np.int32)), jnp.asarray(valid)
+
+    def assemble_collocation(self, system, ctx=None, *, order=None):
+        """Distributed collocation assembly (the reference's MPI
+        collocation mode, petiga.c:1211-1274 + demo/makefile:184-188):
+        each device evaluates the collocation equations of the points it
+        owns.  Rows are point-local (a point writes only its own stencil
+        slots), so — unlike Galerkin — no reverse-halo fold is needed;
+        the returned padded sharded (A_data, F) plug into the
+        nonsymmetric solvers (bicgstab/gmres) unchanged.
+        """
+        from ..assembly.collocation import _colloc_structure
+
+        sp = self.space
+        if not sp.collocation:
+            raise ValueError("space was not built with collocation=True")
+        st = self.st
+        dof, nen = sp.dof, sp.nen
+        dt = sp.dtype
+        dim = sp.dim
+        slot_all = _colloc_structure(sp)  # (npts, nen) int32
+        mask_all, vals_all = sp.device("dirichlet")
+        ids_b, valid_b = self._partition_points()
+        nloc = int(np.prod(self.L))
+        Lrev = tuple(self.L[::-1])
+
+        def local(ids, valid):
+            ids = ids.reshape(nloc)
+            valid = valid.reshape(nloc)
+            pb = tabulate_elements(sp, ids, order=order)
+            pts = jax.tree.map(lambda a: a[:, 0], _points_of(pb))
+            K, F = jax.vmap(lambda p: system(p, ctx))(pts)
+            K = K.reshape(nloc, dof, nen * dof).astype(dt)
+            F = F.reshape(nloc, dof).astype(dt)
+            # Dirichlet rows -> interpolation equation
+            m = mask_all[ids].astype(dt)  # (nloc, dof)
+            v = vals_all[ids].astype(dt)
+            interp = jnp.zeros((nloc, dof, nen, dof), dt)
+            for c in range(dof):
+                interp = interp.at[:, c, :, c].set(pts.shape0)
+            interp = interp.reshape(nloc, dof, nen * dof)
+            K = K * (1 - m[:, :, None]) + interp * m[:, :, None]
+            F = jnp.where(m > 0, v, F)
+            vmask = valid.astype(dt)
+            K = K * vmask[:, None, None]
+            F = F * vmask[:, None]
+            slots = slot_all[ids]  # (nloc, nen)
+            Kb = K.reshape(nloc, dof, nen, dof).transpose(0, 2, 1, 3)
+            data = jnp.zeros((nloc * st.K, dof, dof), dt)
+            rows = (jnp.arange(nloc, dtype=jnp.int32)[:, None] * st.K
+                    + slots)
+            data = data.at[rows.reshape(-1)].add(
+                Kb.reshape(-1, dof, dof)
+            )
+            return (
+                data.reshape(Lrev + (st.K, dof, dof)),
+                F.reshape(Lrev + (dof,)),
+            )
+
+        shard = jax.shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(self.elem_spec(), self.elem_spec()),
+            out_specs=(self.grid_spec(3), self.grid_spec(1)),
+            check_vma=False,
+        )
+        return shard(ids_b, valid_b)
+
+    def solve_collocation(self, system, ctx=None, *, rtol=1e-8,
+                          order=None, maxiter=10000, solver="gmres",
+                          pc="jacobi", **kw):
+        """Distributed collocation assemble + nonsymmetric Krylov solve
+        (collocation operators are nonsymmetric)."""
+        data, F = self.assemble_collocation(system, ctx, order=order)
+        solve = {"bicgstab": self.bicgstab, "gmres": self.gmres}[solver]
+        x, k, res = solve(data, F, rtol=rtol, maxiter=maxiter, pc=pc, **kw)
+        return self.crop_flat(x), {"iters": int(k), "residual": float(res)}
+
     def _halo_shell(self, x_loc):
         """Extended local block holding ONLY the received halo shells
         (interior zeroed) — the collective-dependent part of the
@@ -1021,10 +1134,22 @@ class DistSpace:
         if pc == "pbjacobi":
             D = data_loc[..., self.st.diag_slot, :, :]  # (L_rev..., dof, dof)
             dof = self.space.dof
-            # padded / empty rows carry a zero block: substitute identity
-            singular = jnp.all(D == 0.0, axis=(-2, -1))
-            D = D + jnp.eye(dof, dtype=D.dtype) * singular[..., None, None]
-            Dinv = jnp.linalg.inv(D)
+            # guard EVERY singular block, not just all-zero ones (a zero
+            # diagonal entry with nonzero in-block coupling would pass
+            # jnp.linalg.inv and poison the solve with inf/nan —
+            # PCPBJACOBI's zero-pivot handling): fall back to the
+            # scalar-Jacobi inverse of that block's diagonal.
+            det = jnp.linalg.det(D)
+            dmax = jnp.max(jnp.abs(D), axis=(-2, -1))
+            bad = jnp.abs(det) <= 1e-12 * jnp.maximum(dmax, 1.0) ** dof
+            Dsafe = jnp.where(
+                bad[..., None, None], jnp.eye(dof, dtype=D.dtype), D
+            )
+            Dinv = jnp.linalg.inv(Dsafe)
+            diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+            sinv = jnp.where(diag != 0, 1.0 / jnp.where(diag == 0, 1.0, diag), 1.0)
+            Sinv = sinv[..., :, None] * jnp.eye(dof, dtype=D.dtype)
+            Dinv = jnp.where(bad[..., None, None], Sinv, Dinv)
             return lambda r: jnp.einsum("...ab,...b->...a", Dinv, r)
         raise ValueError(f"unknown preconditioner {pc!r}")
 
@@ -1132,7 +1257,13 @@ class DistSpace:
         ((restart+1, n_loc) per device); every inner product is a psum
         over the mesh, so the Hessenberg matrix H and the least-squares
         solve are bitwise-replicated across devices — the same structure
-        PETSc's parallel KSPGMRES gets from MPI_Allreduce dots."""
+        PETSc's parallel KSPGMRES gets from MPI_Allreduce dots.
+
+        ``maxiter`` counts INNER iterations (matvecs), like cg/bicgstab:
+        it is converted to ``ceil(maxiter/restart)`` full cycles, and the
+        reported iteration count ``k·restart`` is an upper bound (the
+        final cycle may have needed fewer columns)."""
+        maxiter = -(-int(maxiter) // int(restart))  # cycles
         sp = self.space
         dof = sp.dof
         st = self.st

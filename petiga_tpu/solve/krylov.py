@@ -169,7 +169,13 @@ def gmres(
 
     Fixed-shape Arnoldi basis (restart, n) inside ``lax.while_loop`` —
     iteration counts vary at runtime but shapes are static for XLA.
+
+    ``maxiter`` counts INNER iterations (matvecs), consistent with
+    cg/bicgstab: it is converted to ``ceil(maxiter/restart)`` restart
+    cycles; the reported ``iters = k·restart`` is an upper bound (the
+    final cycle may have needed fewer columns).
     """
+    maxiter = -(-int(maxiter) // int(restart))
     matvec = _as_matvec(A)
     Mv = M if M is not None else (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0

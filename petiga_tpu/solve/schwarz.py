@@ -68,6 +68,23 @@ def subdomain_boxes(N, nsub):
     return starts, sizes
 
 
+MAX_SUBDOMAIN_BLOCK = 4096  # dense-inverse guard: (nb*dof)^2 entries
+
+
+def _check_block(N, subdomains, ov, dof, max_block):
+    """Refuse memory-quadratic dense subdomain inverses."""
+    nb = 1
+    for n, s in zip(N, subdomains):
+        nb *= -(-n // s) + 2 * ov
+    if nb * dof > max_block:
+        raise ValueError(
+            f"Schwarz subdomain block is {nb * dof} dofs "
+            f"(> max_block={max_block}); its dense inverse would need "
+            f"{(nb * dof) ** 2 * 8 / 2**30:.1f} GiB per box — use more "
+            f"subdomains (smaller boxes) or raise max_block explicitly"
+        )
+
+
 def schwarz_preconditioner(
     A,
     *,
@@ -75,6 +92,8 @@ def schwarz_preconditioner(
     overlap=None,
     coarse: bool = True,
     restricted: bool = False,
+    coarse_modes=None,
+    max_block: int = MAX_SUBDOMAIN_BLOCK,
 ):
     """Build the two-level Schwarz PC for a :class:`StencilMatrix` ``A``.
 
@@ -82,8 +101,18 @@ def schwarz_preconditioner(
       A: assembled stencil operator (Dirichlet rows already fixed).
       subdomains: per-axis subdomain counts; default ~N_d/8 boxes.
       overlap: extension layers; default = max stencil half-width.
-      coarse: include the subdomain-constant coarse correction.
+      coarse: include the subdomain coarse correction.
       restricted: RAS scatter (owned boxes only; nonsymmetric).
+      coarse_modes: optional (nmodes, nnodes, dof) near-null-space
+        vectors replacing the per-field constants in the coarse basis —
+        e.g. ``models.elasticity.rigid_body_modes`` (the reference feeds
+        the same vectors to BDDC, petigapcbddc.c:310-460, and to
+        solvers via MatNullSpaceCreateRigidBody, petigansp.c:119-131).
+        Constants-only coarse spaces leave rotations unaddressed for
+        elasticity, so iteration counts grow with the subdomain count.
+      max_block: guard on the dense subdomain block size — the inverses
+        are (nb·dof)² dense; a 32³ dof=1 subdomain would be a 39304²
+        matrix (~12 GB f64).  Raise instead of silently allocating.
 
     Returns ``M(r) -> z``, closed over device-resident factors.
     """
@@ -100,6 +129,7 @@ def schwarz_preconditioner(
     for n, p in zip(N, st.widths):
         if n <= 2 * p:
             raise ValueError("grid too small for the stencil width")
+    _check_block(N, subdomains, ov, dof, max_block)
 
     starts, sizes = subdomain_boxes(N, subdomains)
     nsub = int(np.prod(subdomains))
@@ -133,6 +163,11 @@ def schwarz_preconditioner(
         idx += j * stride
         stride *= N[d]
     owned &= valid
+    # invariant (unequal boxes at overlap == p reach one past the
+    # shorter extended block): every table entry is in-range — invalid
+    # entries are per-axis clipped/wrapped above and neutralized by the
+    # valid/owned masks, never read out of bounds
+    assert idx.min() >= 0 and idx.max() < st.nnodes
 
     # pair slot table over the local box (shared by all subdomains):
     # the slot of the coupling i -> j is the local offset j - i
@@ -162,18 +197,34 @@ def schwarz_preconditioner(
     Binv = jnp.linalg.inv(B)  # batched (MXU)
 
     if coarse:
-        # coarse basis: per-subdomain per-field constants on the OWNED
-        # boxes (the reference's minimal near-null-space mask vectors,
-        # petigapcbddc.c:310-460); owned boxes tile the grid exactly.
-        R0 = np.zeros((nsub * dof, st.nnodes, dof))
+        # coarse basis: per-subdomain near-null-space vectors restricted
+        # to the OWNED boxes (the reference's minimal near-null-space
+        # mask vectors, petigapcbddc.c:310-460); default = per-field
+        # constants, or user modes (rigid bodies for elasticity).
+        # Owned boxes tile the grid exactly.
+        if coarse_modes is None:
+            modes = np.zeros((dof, st.nnodes, dof))
+            for f in range(dof):
+                modes[f, :, f] = 1.0
+        else:
+            modes = np.asarray(coarse_modes, np.float64)
+            if modes.shape[1:] != (st.nnodes, dof):
+                raise ValueError(
+                    f"coarse_modes must be (nmodes, {st.nnodes}, {dof})"
+                )
+        nm = modes.shape[0]
+        R0 = np.zeros((nsub * nm, st.nnodes, dof))
         for s in range(nsub):
             rows = idx[s][owned[s]]
-            for f in range(dof):
-                R0[s * dof + f, rows, f] = 1.0
+            for mmode in range(nm):
+                R0[s * nm + mmode, rows, :] = modes[mmode, rows, :]
         R0_j = jnp.asarray(R0, data.dtype)
         # A0[c, c'] = R0_c . A R0_c'  via nc stencil matvecs
-        AR = jnp.stack([A.matvec(R0_j[c]) for c in range(nsub * dof)])
+        AR = jnp.stack([A.matvec(R0_j[c]) for c in range(nsub * nm)])
         A0 = jnp.einsum("cnd,knd->ck", R0_j, AR)
+        # Dirichlet-eliminated rows can zero a mode on a box entirely
+        dead0 = jnp.abs(jnp.diagonal(A0)) < 1e-30
+        A0 = A0 + jnp.eye(A0.shape[0], dtype=A0.dtype) * dead0[:, None]
         A0inv = jnp.linalg.inv(A0)
 
     nnodes = st.nnodes
@@ -209,6 +260,8 @@ def schwarz_local_preconditioner(
     overlap=None,
     coarse: bool = True,
     restricted: bool = False,
+    coarse_modes=None,
+    max_block: int = MAX_SUBDOMAIN_BLOCK,
 ):
     """Distributed two-level Schwarz — the serial PC above applied
     *inside* the device-mesh Krylov loops (the role PCBDDC plays under
@@ -258,6 +311,12 @@ def schwarz_local_preconditioner(
         ndev = int(np.prod(m))
         ext = tuple(int(sizes[d].max()) + 2 * ov[d] for d in range(dim))
         nb = int(np.prod(ext))
+        if nb * dof > max_block:
+            raise ValueError(
+                f"Schwarz subdomain block is {nb * dof} dofs (> "
+                f"max_block={max_block}) — use more subdomains per "
+                f"device or raise max_block explicitly"
+            )
         Lext = tuple(L[d] + 2 * p[d] for d in range(dim))
         next_ = int(np.prod(Lext))
 
@@ -334,6 +393,12 @@ def schwarz_local_preconditioner(
 
         if not coarse:
             return local_solves
+
+        if coarse_modes is not None:
+            return _modes_coarse(
+                ds, data_loc, local_solves, coarse_modes, starts, sizes,
+                nsub, ov, restricted,
+            )
 
         # ---- coarse level: constants on the disjoint owned boxes
         nc = ndev * nsub_loc * dof
@@ -417,3 +482,145 @@ def schwarz_local_preconditioner(
         return M
 
     return pc
+
+
+def _modes_coarse(ds, data_loc, local_solves, coarse_modes, starts, sizes,
+                  nsub, ov, restricted):
+    """Mode-weighted coarse level for the distributed Schwarz PC: the
+    coarse basis is each near-null-space vector restricted to a
+    (device, box) — rigid-body modes for elasticity (the reference's
+    BDDC near-null-space intent, petigapcbddc.c:310-460).  The coarse
+    operator ``A0[c,c'] = Σ_{i,j} W_c[i]·A[i,j]·W_c'[j]`` is assembled
+    algebraically from the local stencil rows with halo-gathered column
+    weights, psum-reduced so it is bitwise-replicated on every device.
+    Runs inside shard_map."""
+    sp = ds.space
+    st = ds.st
+    dim, dof = st.dim, st.dof
+    p = tuple(int(w) for w in st.widths)
+    L = tuple(int(l) for l in ds.L)
+    m = tuple(int(g) for g in ds.pgrid)
+    names = ds.names
+    K = st.K
+    nsub_loc = int(np.prod(nsub))
+    ndev = int(np.prod(m))
+    nloc = int(np.prod(L))
+    Lext = tuple(L[d] + 2 * p[d] for d in range(dim))
+    next_ = int(np.prod(Lext))
+
+    modes = np.asarray(coarse_modes, np.float64)
+    nm = modes.shape[0]
+    if modes.shape[1:] != (sp.nnodes, dof):
+        raise ValueError(f"coarse_modes must be (nmodes, {sp.nnodes}, {dof})")
+    nc = ndev * nsub_loc * nm
+
+    # padded global mode grid, replicated closure constant
+    Np = ds.Np
+    Wg = np.zeros(tuple(Np[::-1]) + (nm * dof,))
+    Ngrid = tuple(sp.node_shape[::-1])
+    Wfull = np.moveaxis(modes, 0, 1).reshape(sp.nnodes, nm * dof)
+    Wg[tuple(slice(0, n) for n in Ngrid)] = Wfull.reshape(
+        Ngrid + (nm * dof,)
+    )
+    Wg_j = jnp.asarray(Wg, data_loc.dtype)
+
+    origin_rev = tuple(
+        (jax.lax.axis_index(names[dim - 1 - g])
+         * L[dim - 1 - g]).astype(jnp.int32)
+        for g in range(dim)
+    )
+    W_loc = jax.lax.dynamic_slice(
+        Wg_j, origin_rev + (jnp.int32(0),), tuple(L[::-1]) + (nm * dof,)
+    )
+    W_ext = ds.halo_gather(W_loc).reshape(next_, nm, dof)
+    Wr = W_loc.reshape(nloc, nm, dof)
+
+    # box id per local row (static tables)
+    boxtab = [
+        np.searchsorted(starts[d], np.arange(L[d]), side="right") - 1
+        for d in range(dim)
+    ]
+    lgrids = np.meshgrid(*[np.arange(l) for l in L], indexing="ij")
+    lc = np.stack([g.ravel(order="F") for g in lgrids], axis=-1)
+    row_box = np.zeros(nloc, np.int64)
+    for d in range(dim - 1, -1, -1):
+        row_box = row_box * nsub[d] + boxtab[d][lc[:, d]]
+
+    soffs = st.slot_offsets()
+    # ext-grid flat index of each (row, slot) column — always in the
+    # halo-extended block; and its (device, box) coarse id
+    col_ext = np.zeros((nloc, K), np.int64)
+    stride = 1
+    for d in range(dim):
+        j = p[d] + lc[:, d:d + 1] + soffs[None, :, d]
+        col_ext += j * stride
+        stride *= Lext[d]
+    col_ext_j = jnp.asarray(col_ext)
+
+    # column coarse ids (device may differ across the halo)
+    dev_flat = jnp.asarray(0)
+    for d in range(dim - 1, -1, -1):
+        dev_flat = dev_flat * m[d] + jax.lax.axis_index(names[d])
+    row_cid = dev_flat * nsub_loc + jnp.asarray(row_box)
+    boxtab_j = [jnp.asarray(b) for b in boxtab]
+    soffs_j = jnp.asarray(soffs)
+    lc_j = jnp.asarray(lc)
+    cdev_flat = jnp.zeros((nloc, K), jnp.int64)
+    cbox_flat = jnp.zeros((nloc, K), jnp.int64)
+    for d in range(dim - 1, -1, -1):
+        g = (jax.lax.axis_index(names[d]) * L[d]
+             + lc_j[:, d:d + 1] + soffs_j[None, :, d])
+        if sp.periodic[d]:
+            g = jnp.mod(g, sp.node_shape[d])
+        else:
+            g = jnp.clip(g, 0, L[d] * m[d] - 1)
+        cdev = g // L[d]
+        clocal = g - cdev * L[d]
+        cdev_flat = cdev_flat * m[d] + cdev
+        cbox_flat = cbox_flat * nsub[d] + boxtab_j[d][clocal]
+    col_cid = cdev_flat * nsub_loc + cbox_flat  # (nloc, K)
+
+    vals = data_loc.reshape(nloc, K, dof, dof)
+    We = W_ext[col_ext_j]  # (nloc, K, nm, dof)
+    contrib = jnp.einsum("ikab,ima,iknb->ikmn", vals, Wr, We)
+    I2 = (row_cid[:, None, None, None] * nm
+          + jnp.arange(nm)[None, None, :, None])
+    J2 = (col_cid[:, :, None, None] * nm
+          + jnp.arange(nm)[None, None, None, :])
+    A0 = (
+        jnp.zeros((nc, nc), vals.dtype)
+        .at[
+            jnp.broadcast_to(I2, contrib.shape).reshape(-1),
+            jnp.broadcast_to(J2, contrib.shape).reshape(-1),
+        ]
+        .add(contrib.reshape(-1))
+    )
+    A0 = jax.lax.psum(A0, tuple(names))
+    dead0 = jnp.abs(jnp.diagonal(A0)) < 1e-30
+    A0 = A0 + jnp.eye(nc, dtype=A0.dtype) * dead0[:, None]
+    A0inv = jnp.linalg.inv(A0)
+
+    rows_nm = row_cid[:, None] * nm + jnp.arange(nm)[None, :]
+    Av = lambda v: ds.matvec_local(
+        data_loc.reshape(tuple(L[::-1]) + (K, dof, dof)), v
+    )
+
+    def coarse_solve(r_loc):
+        rv = r_loc.reshape(nloc, dof)
+        rm = jnp.einsum("ima,ia->im", Wr, rv)
+        rc = (
+            jnp.zeros((nc,), rv.dtype)
+            .at[rows_nm.reshape(-1)]
+            .add(rm.reshape(-1))
+        )
+        rc = jax.lax.psum(rc, tuple(names))
+        z0 = A0inv @ rc
+        z = jnp.einsum("ima,im->ia", Wr, z0[rows_nm])
+        return z.reshape(r_loc.shape)
+
+    def M(r_loc):
+        z1 = coarse_solve(r_loc)
+        z2 = z1 + local_solves(r_loc - Av(z1))
+        return z2 + coarse_solve(r_loc - Av(z2))
+
+    return M

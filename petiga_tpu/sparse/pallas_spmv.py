@@ -114,15 +114,23 @@ def _flat_shifts(stencil, align=None, pads=None) -> np.ndarray:
     return c
 
 
-def alignment_pads(stencil, lanes: int = LANES):
+def alignment_pads(stencil, lanes: int = LANES, row_aligned: bool = False):
     """Per-axis high-side pads making prod(ext_shape) divisible by
     ``lanes`` with minimal volume overhead — required by the zero-copy
     plane-direct layout (``from_planes``), where the flat tail pad of
     the packed arrays must be absorbed into the grid itself (a late
     flat-tail ``jnp.pad`` would copy the multi-GB plane array).
 
-    Small exhaustive search over the two fastest axes (pads 0..15) with
-    the slowest axis rounded up to the needed power-of-two multiple.
+    ``row_aligned`` (dim == 3) additionally makes the product of the two
+    FAST axes divisible by ``lanes``, so every slowest-axis layer is a
+    whole number of (·, 128) rows — the plane array can then live in the
+    kernel's (planes, M, 128) layout THROUGHOUT assembly.  Required at
+    large scale: materializing the planes grid-shaped makes XLA lane-pad
+    the minor spatial dim (e.g. 260→384, 1.5× = +4 GB at 256³) and
+    insert layout copies, which OOMs the chip.
+
+    Small exhaustive search over the fast axes (pads 0..31) with the
+    slowest axis rounded up to the needed multiple.
     """
     N = _ext_shape(stencil)  # include periodic halos
     dim = stencil.dim
@@ -130,20 +138,27 @@ def alignment_pads(stencil, lanes: int = LANES):
         extra = (-N[0]) % lanes
         return (extra,)
     best = None
-    rng = range(0, 16)
-    fast_axes = list(range(dim - 1))
     import itertools
 
+    rng = range(0, 32)
+    fast_axes = list(range(dim - 1))
     for pads in itertools.product(rng, repeat=len(fast_axes)):
         rest = 1
         for ax, a in zip(fast_axes, pads):
             rest *= N[ax] + a
-        g = math.gcd(rest, lanes)
-        mult = lanes // g
-        last = math.ceil(N[dim - 1] / mult) * mult
+        if row_aligned:
+            if rest % lanes:
+                continue
+            last = N[dim - 1]
+        else:
+            g = math.gcd(rest, lanes)
+            mult = lanes // g
+            last = math.ceil(N[dim - 1] / mult) * mult
         vol = rest * last
         if best is None or vol < best[0]:
             best = (vol, pads + (last - N[dim - 1],))
+    if best is None:
+        raise ValueError("no row-aligned pad found")
     return tuple(best[1])
 
 

@@ -56,7 +56,7 @@ def run_dist_case():
     data, b = ds.assemble_system(poisson_system, {"c": 0.0, "k": 1.0})
     x, it, res = ds.cg(data, b, rtol=1e-6)
     from petiga_tpu.models.poisson import l2_error
-    err = float(l2_error(sp, np.asarray(ds.crop_flat(x))))
+    err = float(l2_error(sp, ds.crop_flat(x)))
     return {"case": "dist_1dev_pallas", "iters": int(it),
             "residual": float(res), "l2": err,
             "ok": bool(np.isfinite(err) and err < 1e-3)}

@@ -119,7 +119,7 @@ def main():
     kz = chunk_sz // int(np.prod(sp.elem_shape[:-1]))
 
     def acc_only(k):
-        P = jnp.zeros(sbox_rev + (1, 1) + tuple(Ne[::-1]), jnp.float32)
+        P = jnp.zeros((st.K,) + tuple(Ne[::-1]), jnp.float32)
 
         def body(P, c):
             return fastpath.accumulate_matrix_dyn_planes(
@@ -127,7 +127,7 @@ def main():
             ), None
 
         P, _ = jax.lax.scan(body, P, jnp.arange(nchunks, dtype=jnp.int32))
-        return float(P[2, 2, 2, 0, 0, 0, 0, 0])
+        return float(P[62, 0, 0, 0])
 
     timeit("accumulate_planes_only", acc_only)
 

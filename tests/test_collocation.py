@@ -84,3 +84,48 @@ def test_collocation_bratu():
     mask, vals = sp.dirichlet_mask()
     np.testing.assert_allclose(np.asarray(U)[mask], 0.0, atol=1e-10)
     assert float(U.max()) > 0.05
+
+
+def test_distributed_collocation_matches_serial():
+    """Distributed collocation (per-device point evaluation; rows are
+    point-local so no reverse halo) == serial assembly + solve — the
+    reference's MPI collocation mode (petiga.c:1211-1274,
+    demo/makefile:184-188)."""
+    import jax
+    from petiga_tpu.parallel.dist import DistSpace
+    from petiga_tpu.solve.krylov import gmres, jacobi_preconditioner
+
+    def colloc_space():
+        sp = Space(
+            [Axis.uniform(p=2, nel=9) for _ in range(2)],
+            collocation=True, dtype=F64,
+        )
+        for d in range(2):
+            for s in range(2):
+                sp.set_boundary_value(d, s, 0, 0.0)
+        return sp
+
+    def poisson_colloc(pt, ctx):
+        lap = -jnp.trace(pt.shape2, axis1=-2, axis2=-1)
+        f = 2 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * pt.x))
+        return lap, f * jnp.ones(())
+
+    sp_s = colloc_space()
+    A_s, F_s = assemble_collocation(sp_s, poisson_colloc)
+    rs = gmres(A_s, F_s.reshape(-1, 1), M=jacobi_preconditioner(A_s),
+               rtol=1e-10)
+    for pg in [(2, 1), (2, 2)]:
+        sp = colloc_space()
+        ds = DistSpace(sp, devices=jax.devices()[: int(np.prod(pg))],
+                       pgrid=pg, use_pallas=False)
+        data, F = ds.assemble_collocation(poisson_colloc)
+        dloc = np.asarray(
+            ds.crop_flat(
+                data.reshape(tuple(ds.Np[::-1]) + (ds.st.K,))
+            )
+        ).reshape(sp.nnodes, ds.st.K, 1, 1)
+        np.testing.assert_allclose(dloc, np.asarray(A_s.data), atol=1e-13)
+        x, info = ds.solve_collocation(poisson_colloc, rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(rs.x).reshape(-1, 1), atol=1e-9
+        )

@@ -14,7 +14,10 @@ from petiga_tpu.core.space import Space
 from petiga_tpu.models.poisson import make_space, poisson_system
 from petiga_tpu.parallel.dist import DistSpace
 from petiga_tpu.solve.krylov import cg, jacobi_preconditioner
-from petiga_tpu.solve.schwarz import schwarz_local_preconditioner
+from petiga_tpu.solve.schwarz import (
+    schwarz_local_preconditioner,
+    schwarz_preconditioner,
+)
 
 F64 = jnp.float64
 
@@ -90,3 +93,40 @@ def test_dist_schwarz_ras_bicgstab():
     np.testing.assert_allclose(
         np.asarray(ds.crop_flat(x)), np.asarray(x_ref), atol=1e-7
     )
+
+
+def test_dist_schwarz_rigid_body_coarse():
+    """Distributed mode-weighted coarse level (rigid-body modes):
+    partition-invariant iteration counts and the same solution as the
+    serial RBM-coarse solve."""
+    from petiga_tpu.models.elasticity import (
+        elasticity_system,
+        make_space as make_el,
+        rigid_body_modes,
+    )
+    from petiga_tpu.solve.krylov import cg as scg
+
+    ctx = {"lambda": 2.0, "mu": 1.0,
+           "body_force": lambda x: jnp.sin(jnp.pi * x)}
+    sp_s = make_el(2, p=2, nel=12, dtype=F64)
+    A_s, b_s = assemble_system(sp_s, elasticity_system, ctx)
+    rbm_s = rigid_body_modes(sp_s)
+    M = schwarz_preconditioner(A_s, subdomains=(4, 4), coarse_modes=rbm_s)
+    rs = scg(A_s, b_s, M=M, rtol=1e-8)
+
+    iters = {}
+    for ndev, pg in [(1, (1, 1)), (4, (2, 2))]:
+        sp = make_el(2, p=2, nel=12, dtype=F64)
+        ds = DistSpace(sp, devices=jax.devices()[:ndev], pgrid=pg,
+                       use_pallas=False)
+        A, b = ds.assemble_system(elasticity_system, ctx)
+        pc = schwarz_local_preconditioner(
+            subdomains=(2, 2), coarse_modes=rigid_body_modes(sp)
+        )
+        x, it, res = ds.cg(A, b, rtol=1e-8, pc=pc)
+        iters[ndev] = int(it)
+        np.testing.assert_allclose(
+            np.asarray(ds.crop_flat(x)), np.asarray(rs.x), atol=1e-7
+        )
+    # 4 devices x (2,2) boxes == serial (4,4) boxes: same global PC
+    assert iters[4] == int(rs.iters)

@@ -74,3 +74,37 @@ def test_sharded_mismatch_raises(tmp_path):
 
     with pytest.raises(ValueError):
         load_sharded(str(tmp_path), "U", ds=dso)
+
+
+def test_load_sharded_reads_only_overlapping_shards(tmp_path, monkeypatch):
+    """The ds-targeted load assembles each device block from only the
+    source shards overlapping it (the multi-host restart contract:
+    a process never reads shards outside its addressable blocks)."""
+    from petiga_tpu.models.poisson import make_space
+    from petiga_tpu.parallel.dist import DistSpace
+    from petiga_tpu.io import sharded as sh
+
+    sp = make_space(2, p=2, nel=10, dtype=jnp.float64)
+    ds = DistSpace(sp, devices=jax.devices()[:4], pgrid=(2, 2))
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    sh.save_sharded(ds, U, str(tmp_path), "U")
+
+    reads = []
+    orig = np.load
+
+    def counting_load(path, *a, **kw):
+        reads.append(str(path))
+        return orig(path, *a, **kw)
+
+    monkeypatch.setattr(np, "load", counting_load)
+    sp2 = make_space(2, p=2, nel=10, dtype=jnp.float64)
+    ds2 = DistSpace(sp2, devices=jax.devices()[:4], pgrid=(2, 2))
+    out = sh.load_sharded(str(tmp_path), "U", ds=ds2)
+    np.testing.assert_allclose(
+        np.asarray(ds2.crop_flat(out)), np.asarray(U), atol=1e-14
+    )
+    # matched partitions: every source shard is read exactly once (the
+    # per-file cache), none more — no global gather
+    assert sorted(set(reads)) == sorted(reads)
+    assert len(reads) == 4

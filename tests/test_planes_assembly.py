@@ -140,3 +140,21 @@ def test_post_fix_equivalence():
     )
     np.testing.assert_allclose(np.asarray(Af.data), np.asarray(Ae.data))
     np.testing.assert_allclose(np.asarray(bf), np.asarray(be), atol=1e-13)
+
+
+def test_planes_row_aligned_mode():
+    """Row-aligned plane layout (the >2 GB mode where the plane array
+    stays (planes, M, 128) through assembly — grid-shaped
+    materialization lane-pads 1.5x and OOMs at 256^3) matches the
+    grid-shaped mode and the node-major reference."""
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.2, "k": 1.1})
+    op, b2 = assemble_system_planes(
+        sp, poisson_system_q, {"c": 0.2, "k": 1.1}, chunk=72,
+        interpret=True, row_aligned=True, donate_loop=True,
+    )
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-13)

@@ -4,6 +4,7 @@ periodic wrap, and RAS variant."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from petiga_tpu.core.axis import Axis
 from petiga_tpu.core.space import Space
@@ -101,3 +102,61 @@ def test_schwarz_restricted_with_bicgstab():
     res = bicgstab(A, b, M=M, rtol=1e-10)
     x_ref = cg(A, b, rtol=1e-13).x
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_ref), atol=1e-8)
+
+
+def test_schwarz_unequal_boxes():
+    """Unequal subdomain boxes (N not divisible by nsub) at overlap==p
+    — the ADVICE r2 fragile-index case: idx entries one past the
+    shorter extended block must stay clamped and masked."""
+    from petiga_tpu.models.poisson import make_space, poisson_system
+
+    sp = make_space(2, p=2, nel=11, dtype=jnp.float64)  # 13 nodes/axis
+    A, b = assemble_system(sp, poisson_system, {"c": 0.0, "k": 1.0})
+    M = schwarz_preconditioner(A, subdomains=(2, 2), overlap=2)
+    r = cg(A, b, M=M, rtol=1e-10)
+    r_ref = cg(A, b, rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(r.x), np.asarray(r_ref.x), atol=1e-8
+    )
+
+
+def test_schwarz_block_size_guard():
+    from petiga_tpu.models.poisson import make_space, poisson_system
+
+    sp = make_space(2, p=2, nel=62, dtype=jnp.float64)  # 64+2ov per axis
+    A, _ = assemble_system(sp, poisson_system, {"c": 0.0, "k": 1.0})
+    with pytest.raises(ValueError, match="max_block"):
+        schwarz_preconditioner(A, subdomains=(1, 1))
+    # explicit opt-out accepted
+    schwarz_preconditioner(A, subdomains=(1, 1), max_block=2_000_000)
+
+
+def test_schwarz_rigid_body_coarse_elasticity():
+    """Rigid-body-mode coarse space (the reference's BDDC near-null-
+    space intent, petigapcbddc.c:310-460): solves correctly and does not
+    lose to the constants-only coarse space as subdomains grow."""
+    from petiga_tpu.models.elasticity import (
+        elasticity_system,
+        make_space,
+        rigid_body_modes,
+    )
+
+    sp = make_space(2, p=2, nel=12, dtype=jnp.float64)
+    ctx = {"lambda": 2.0, "mu": 1.0,
+           "body_force": lambda x: jnp.sin(jnp.pi * x)}
+    A, b = assemble_system(sp, elasticity_system, ctx)
+    rbm = rigid_body_modes(sp)
+    r_ref = cg(A, b, rtol=1e-10)
+    iters = {}
+    for subs in [(2, 2), (3, 3)]:
+        Mc = schwarz_preconditioner(A, subdomains=subs)
+        Mr = schwarz_preconditioner(A, subdomains=subs, coarse_modes=rbm)
+        rc = cg(A, b, M=Mc, rtol=1e-10)
+        rr = cg(A, b, M=Mr, rtol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(rr.x), np.asarray(r_ref.x), atol=1e-7
+        )
+        iters[subs] = (int(rc.iters), int(rr.iters))
+        assert int(rr.iters) <= int(rc.iters) + 2
+    # growth with subdomain count stays bounded for the RBM coarse space
+    assert iters[(3, 3)][1] <= 1.6 * max(iters[(2, 2)][1], 1)
