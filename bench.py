@@ -95,12 +95,50 @@ def bench_mesh(NEL, chunk, solve_rtol, matfree=False):
     reps = 3 if NEL <= 128 else 1
     t0 = time.time()
     for i in range(reps):
+        # free the previous operator FIRST: two resident plane arrays
+        # would exceed HBM at 256³
+        del op, b
         op, b = asm(jnp.float32(1.0 + 1e-6 * i))
     barrier()
     t_asm = (time.time() - t0) / reps
     out["assembly_s"] = round(t_asm, 4)
     out["assembly_Mnnz_s"] = round(nnz / t_asm / 1e6, 1)
+    # absolute metrics (model-free): element-matrix FLOPs/s of the
+    # q-batched contraction, and the operator-write stream fraction
+    Q = nen = (2 + 1) ** 3
+    eflops = 2 * sp.nel * Q * nen * nen * 3
+    out["assembly_elem_gflops"] = round(eflops / t_asm / 1e9, 1)
+    st0 = op.stencil
+    out["assembly_store_stream_frac"] = round(
+        (st0.nnodes * st0.K * 4 / 819e9) / t_asm, 4
+    )
     out["pallas_kind"] = op.kind
+
+    # sum-factorized separable assembly of the SAME operator (Kronecker
+    # element matrices from per-axis 1-D factors — no dim-D tabulation,
+    # no quadrature contraction; verified identical to the generic path)
+    from petiga_tpu.assembly.assemble import assemble_separable_planes
+
+    def forcing(x):
+        return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * x))
+
+    def asm_sep(kval):
+        return assemble_separable_planes(
+            sp, c=0.0, kappa=kval, forcing=forcing, chunk=chunk,
+            donate_loop=(NEL > 128),
+        )
+
+    if NEL <= 128:  # at 256³ two resident operators would exceed HBM
+        op_s, b_s = asm_sep(jnp.float32(1.0))
+        barrier()
+        t0 = time.time()
+        for i in range(reps):
+            op_s, b_s = asm_sep(jnp.float32(1.0 + 1e-6 * i))
+        barrier()
+        t_sep = (time.time() - t0) / reps
+        out["assembly_separable_s"] = round(t_sep, 4)
+        out["assembly_separable_Mnnz_s"] = round(nnz / t_sep / 1e6, 1)
+        del op_s, b_s
 
     DT = op.DT
     dinv = op.packed_diag_inv()

@@ -28,12 +28,15 @@ from .config import Options, bind_cli, print_info
 
 from .assembly.assemble import (
     assemble_system,
+    assemble_system_planes,
+    assemble_separable_planes,
     assemble_matrix,
     assemble_vector,
     assemble_function,
     assemble_jacobian,
     compute_scalar,
     compute_error_norm,
+    dirichlet_post_fix,
     stencil_of,
 )
 from .assembly.collocation import (
@@ -44,9 +47,14 @@ from .assembly.collocation import (
 from .assembly.point import Point
 from .assembly.tabulation import validate_geometry
 
-from .sparse.stencil import Stencil, StencilMatrix, stencil_apply
+from .sparse.stencil import (
+    Stencil,
+    StencilMatrix,
+    SymmetricStencilMatrix,
+    stencil_apply,
+)
 from .sparse.pallas_spmv import PallasStencilOperator, pallas_matvec
-from .sparse.matfree import MatFreeOperator
+from .sparse.matfree import MatFreeOperator, JacobianFreeOperator
 
 from .solve.krylov import (
     cg,
@@ -95,14 +103,17 @@ __all__ = [
     "Axis", "Rule", "gauss_legendre", "gauss_lobatto", "Space",
     "BoundaryCondition", "Options", "bind_cli", "print_info",
     # assembly
-    "assemble_system", "assemble_matrix", "assemble_vector",
+    "assemble_system", "assemble_system_planes",
+    "assemble_separable_planes", "assemble_matrix", "assemble_vector",
     "assemble_function", "assemble_jacobian", "compute_scalar",
-    "compute_error_norm", "stencil_of", "assemble_collocation",
+    "compute_error_norm", "dirichlet_post_fix", "stencil_of",
+    "assemble_collocation",
     "assemble_collocation_function", "assemble_collocation_jacobian",
     "Point", "validate_geometry",
     # operators
-    "Stencil", "StencilMatrix", "stencil_apply", "PallasStencilOperator",
-    "pallas_matvec", "MatFreeOperator",
+    "Stencil", "StencilMatrix", "SymmetricStencilMatrix", "stencil_apply",
+    "PallasStencilOperator", "pallas_matvec", "MatFreeOperator",
+    "JacobianFreeOperator",
     # solvers
     "cg", "bicgstab", "gmres", "jacobi_preconditioner",
     "block_jacobi_preconditioner", "newton", "NewtonResult",

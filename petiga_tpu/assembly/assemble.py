@@ -33,6 +33,7 @@ __all__ = [
     "stencil_of",
     "assemble_system",
     "assemble_system_planes",
+    "assemble_separable_planes",
     "assemble_matrix",
     "assemble_vector",
     "assemble_function",
@@ -556,6 +557,177 @@ def assemble_system_planes(
         st, P.reshape(planes_n, M, LANES), align, interpret=interpret
     )
     b = b_grid.reshape(st.nnodes, dof)
+    if apply_fix:
+        op, b = dirichlet_post_fix(space, op, b)
+    flux = boundary_flux_vector(space)
+    if flux is not None:
+        mask, _ = space.device("dirichlet")
+        b = b + jnp.where(mask, 0.0, flux.astype(dt))
+    return op, b
+
+
+def assemble_separable_planes(
+    space,
+    *,
+    c: float = 0.0,
+    kappa: float = 1.0,
+    forcing: Optional[Callable] = None,
+    chunk: Optional[int] = None,
+    apply_fix: bool = True,
+    interpret: Optional[bool] = None,
+    donate_loop: bool = False,
+    row_aligned: Optional[bool] = None,
+):
+    """Sum-factorized assembly of the separable reaction–diffusion
+    system ``a(u,v) = ∫ c u v + κ ∇u·∇v`` (identity map, constant
+    coefficients): the element matrix is the Kronecker combination
+
+        Ke = c M_z⊗M_y⊗M_x + κ (S_z⊗M_y⊗M_x + M_z⊗S_y⊗M_x + M_z⊗M_y⊗S_x)
+
+    of per-axis 1-D element mass/stiffness matrices ((p+1)² each,
+    precomputed once per axis) — O(p^{d+1}) broadcast multiplies per
+    element instead of the O(Q·nen²) quadrature contraction, and no
+    dim-D tabulation at all.  This is the sum-factorized fast assembly
+    of the IGA literature (PAPERS.md), applied at element-matrix level;
+    the reference runs its generic element loop even for this form
+    (petigaksp.c:171-193).  Produces the identical operator to
+    ``assemble_system_planes`` with the generic Poisson form (tested to
+    f64 round-off), at several times the throughput.
+
+    ``forcing(x) -> scalar`` builds the load vector through the usual
+    (order-0) tabulation; Dirichlet elimination is the post-assembly
+    fix.  Open regular unit-step spaces, dof = 1.  Returns ``(op, b)``.
+    """
+    from . import fastpath
+    from ..sparse.pallas_spmv import (
+        LANES,
+        PallasStencilOperator,
+        alignment_pads,
+    )
+
+    st = stencil_of(space)
+    if any(space.periodic):
+        raise ValueError("separable assembly requires open axes")
+    if not fastpath.is_unit_step(space) or space.dof != 1:
+        raise ValueError(
+            "separable assembly requires a regular unit-step dof=1 space"
+        )
+    if space.has_geometry:
+        raise ValueError("separable assembly requires the identity map")
+    profiling.count("IGA_FormSystem", profiling.system_flops(space))
+    dt = space.dtype
+    dim = space.dim
+    est = st.K * st.nnodes * jnp.dtype(dt).itemsize
+    if row_aligned is None:
+        row_aligned = dim == 3 and est > 2 * 2**30
+    row_aligned = bool(row_aligned) and dim == 3
+    align = alignment_pads(st, row_aligned=row_aligned)
+    Ne = tuple(N + a for N, a in zip(space.node_shape, align))
+    eshape = space.elem_shape
+    slab = int(np.prod(eshape[:-1])) if dim > 1 else 1
+    if chunk is None:
+        chunk = min(space.nel, 8192)
+    kz = max(1, min(eshape[-1], chunk // slab))
+    while eshape[-1] % kz:
+        kz -= 1
+    chunk_sz = kz * slab
+    nchunks = eshape[-1] // kz
+    ids, valid = _chunks(space, chunk_sz)
+
+    # per-axis 1-D element matrices (nel_d, p_d+1, p_d+1)
+    Ms, Ss = [], []
+    for d in range(dim):
+        t = space.tabs[d]
+        w = jnp.asarray(t.weight * t.detJac[:, None], dt)  # (nel, q)
+        B0 = jnp.asarray(t.value[:, :, 0, :], dt)  # (nel, q, p+1)
+        B1 = jnp.asarray(t.value[:, :, 1, :], dt)
+        Ms.append(jnp.einsum("eq,eqa,eqb->eab", w, B0, B0))
+        Ss.append(jnp.einsum("eq,eqa,eqb->eab", w, B1, B1))
+
+    nen = space.nen
+    nshape = space.nen_shape
+
+    def chunk_Ke(eids):
+        """(B,) flat element ids -> (B, nen, nen) Kronecker element
+        matrices; factors gathered per axis."""
+        rem = eids
+        fac = []
+        for d in range(dim):
+            ed = rem % eshape[d]
+            rem = rem // eshape[d]
+            fac.append((Ms[d][ed], Ss[d][ed]))  # ((B,p+1,p+1), ...)
+        B = eids.shape[0]
+
+        def kron(parts):
+            # parts[d]: (B, p_d+1, p_d+1); combine slowest-axis-major so
+            # the flat local index comes out axis-0 fastest
+            out = parts[dim - 1]
+            for d in range(dim - 2, -1, -1):
+                t = parts[d]
+                na, nb = out.shape[1], out.shape[2]
+                out = (
+                    out[:, :, None, :, None]
+                    * t[:, None, :, None, :]
+                ).reshape(B, na * t.shape[1], nb * t.shape[2])
+            return out
+
+        Ke = c * kron([f[0] for f in fac]) if c != 0.0 else None
+        for dd in range(dim):
+            term = kappa * kron(
+                [fac[d][1] if d == dd else fac[d][0] for d in range(dim)]
+            )
+            Ke = term if Ke is None else Ke + term
+        return Ke
+
+    planes_n = st.K
+    M = int(np.prod(Ne)) // LANES
+    if row_aligned:
+        P = jnp.zeros((planes_n, M, 128), dt)
+    else:
+        P = jnp.zeros((planes_n,) + tuple(Ne[::-1]), dt)
+    b_grid = jnp.zeros(tuple(space.node_shape[::-1]) + (1,), dt)
+
+    def F_chunk(eids, ev):
+        if forcing is None:
+            return None
+        pb = tabulate_elements(space, eids, order=0)
+        f = jax.vmap(jax.vmap(forcing))(pb.x)  # (B, Q)
+        wf = pb.weight * f * ev[:, None].astype(dt)
+        return jnp.einsum("bq,bqa->ba", wf, pb.shape[0])[..., None]
+
+    def chunk_step(carry, xs):
+        P, bg = carry
+        ids_c, valid_c, cix = xs
+        Ke = chunk_Ke(ids_c) * valid_c[:, None, None].astype(dt)
+        Ke = Ke[..., None, None]  # (B, nen_a, nen_b, 1, 1)
+        P = fastpath.accumulate_matrix_dyn_planes(
+            space, P, Ke, cix * kz, align
+        )
+        Fe = F_chunk(ids_c, valid_c)
+        if Fe is not None:
+            bg = fastpath.accumulate_vector_dyn(space, bg, Fe, cix * kz)
+        return (P, bg), None
+
+    if donate_loop:
+        step = jax.jit(
+            lambda P, bg, i_, v_, cix: chunk_step((P, bg), (i_, v_, cix))[0],
+            donate_argnums=(0, 1),
+        )
+        for cix in range(nchunks):
+            P, b_grid = step(
+                P, b_grid, ids[cix], valid[cix], jnp.asarray(cix, jnp.int32)
+            )
+    else:
+        (P, b_grid), _ = jax.lax.scan(
+            chunk_step,
+            (P, b_grid),
+            (ids, valid, jnp.arange(nchunks, dtype=jnp.int32)),
+        )
+
+    op = PallasStencilOperator.from_planes(
+        st, P.reshape(planes_n, M, LANES), align, interpret=interpret
+    )
+    b = b_grid.reshape(st.nnodes, 1)
     if apply_fix:
         op, b = dirichlet_post_fix(space, op, b)
     flux = boundary_flux_vector(space)

@@ -61,5 +61,6 @@ def solve(space, wind, *, kappa=1.0, supg=False, source=0.0, rtol=1e-10):
            "source": source}
     form = supg_system if supg else galerkin_system
     A, b = assemble_system(space, form, ctx)
-    res = bicgstab(A, b, M=jacobi_preconditioner(A), rtol=rtol, maxiter=5000)
+    res = bicgstab(A.fast_operator(), b, M=jacobi_preconditioner(A),
+                   rtol=rtol, maxiter=5000)
     return res.x, {"iters": int(res.iters), "residual": float(res.residual)}

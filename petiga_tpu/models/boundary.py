@@ -58,7 +58,7 @@ def nitsche_poisson(space, exact, forcing, *, C=None, rtol=1e-12):
         return K, F
 
     A, b = assemble_system(space, interior, boundary=bnd, apply_fix=False)
-    res = cg(A, b, M=jacobi_preconditioner(A), rtol=rtol)
+    res = cg(A.fast_operator(), b, M=jacobi_preconditioner(A), rtol=rtol)
     return res.x, {"iters": int(res.iters), "residual": float(res.residual)}
 
 
@@ -80,5 +80,5 @@ def boundary_integral_poisson(space, forcing, flux, fixed_faces, *,
         return K, t * pt.shape0
 
     A, b = assemble_system(space, interior, boundary=bnd)
-    res = cg(A, b, M=jacobi_preconditioner(A), rtol=rtol)
+    res = cg(A.fast_operator(), b, M=jacobi_preconditioner(A), rtol=rtol)
     return res.x, {"iters": int(res.iters), "residual": float(res.residual)}

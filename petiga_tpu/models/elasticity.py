@@ -79,7 +79,7 @@ def solve(space, lam=1.0, mu=1.0, *, ctx_extra=None, rtol=1e-8, chunk=None):
     ctx = {"lambda": lam, "mu": mu, **(ctx_extra or {})}
     A, b = assemble_system(space, elasticity_system, ctx, chunk=chunk)
     M = block_jacobi_preconditioner(A)
-    res = cg(A, b, M=M, rtol=rtol)
+    res = cg(A.fast_operator(), b, M=M, rtol=rtol)
     return res.x, {"iters": int(res.iters), "residual": float(res.residual),
                    "A": A, "b": b}
 

@@ -105,7 +105,7 @@ def solve_poisson(
     """Assemble + CG(Jacobi) solve; returns (U, info dict)."""
     A, b = assemble_system(space, poisson_system, {"c": c, "k": k}, chunk=chunk)
     M = jacobi_preconditioner(A)
-    res = cg(A, b, M=M, rtol=rtol)
+    res = cg(A.fast_operator(), b, M=M, rtol=rtol)
     return res.x, {"iters": int(res.iters), "residual": float(res.residual), "A": A, "b": b}
 
 

@@ -26,7 +26,7 @@ def l2_project(space, f, *, rtol=1e-12, chunk=None):
         return Kd, F
 
     A, b = assemble_system(space, form, apply_fix=False, chunk=chunk)
-    res = cg(A, b, M=jacobi_preconditioner(A), rtol=rtol)
+    res = cg(A.fast_operator(), b, M=jacobi_preconditioner(A), rtol=rtol)
     return res.x
 
 

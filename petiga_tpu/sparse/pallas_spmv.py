@@ -184,12 +184,16 @@ def _plan(stencil, itemsize: int = 4, align=None, pads=None):
         if x_bytes + dt_bytes + out_bytes <= VMEM_BUDGET:
             return ("vmem", r, G, M, next_)
     Gh = -(-G // 8) * 8  # sublane-aligned DMA windows
+    # leave ~4.5 MB of the 16 MB scoped-vmem limit for Mosaic's stack
+    # and the (q-grouped, ≤2 live) window loads; prefer large rows —
+    # every row of guard halves the x window-read amplification 2G/rows
+    hbm_budget = min(VMEM_BUDGET, int(11.5 * 2**20))
     for r in (128, 64, 32, 16, 8):
         win = r + 2 * Gh
         dt_bytes = 2 * planes * r * LANES * itemsize
         x_bytes = 2 * dof * win * LANES * itemsize
         out_bytes = 2 * dof * r * LANES * itemsize
-        if x_bytes + dt_bytes + out_bytes <= VMEM_BUDGET:
+        if x_bytes + dt_bytes + out_bytes <= hbm_budget:
             return ("hbm", r, Gh, M, next_)
     return None
 
@@ -204,38 +208,44 @@ def supported(stencil, itemsize: int = 4) -> bool:
 def _accumulate(window, shifts, dof, dtype, rows, dt_ref):
     """Shared accumulation body: for each slot shift c = 128·q + m, two
     row-shifted window loads + lane roll-with-carry, FMA into per-field
-    accumulators (NACC-way split to break the FMA latency chain)."""
+    accumulators (NACC-way split to break the FMA latency chain).
+
+    Slots are processed GROUPED by their sublane offset q so at most two
+    window loads per field are live at a time — an unordered slot loop
+    keeps ~K live (rows, 128) window values and blows the Mosaic scoped
+    VMEM budget at large guard sizes (256³: K=125 × 32 KB = 4 MB)."""
     NACC = 4
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     acc = [
         [jnp.zeros((rows, LANES), dtype) for _ in range(NACC)]
         for _ in range(dof)
     ]
-    loads = {}
     masks = {}
-
-    def win(b, q):
-        key = (b, q)
-        if key not in loads:
-            loads[key] = window(b, q)
-        return loads[key]
-
+    byq: dict = {}
     for s, c in enumerate(shifts):
         q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
+        byq.setdefault(q, []).append((s, m))
+
+    for q in sorted(byq):
+        group = byq[q]
+        need_hi = any(m != 0 for _, m in group)
         for b in range(dof):
-            A = win(b, q)
-            if m == 0:
-                xs = A
-            else:
-                B = win(b, q + 1)
-                if m not in masks:
-                    masks[m] = lane < LANES - m
-                ra = pltpu.roll(A, LANES - m, 1)
-                rb = pltpu.roll(B, LANES - m, 1)
-                xs = jnp.where(masks[m], ra, rb)
-            for a in range(dof):
-                j = s % NACC
-                acc[a][j] = acc[a][j] + dt_ref[(s * dof + a) * dof + b] * xs
+            A = window(b, q)
+            B = window(b, q + 1) if need_hi else None
+            for s, m in group:
+                if m == 0:
+                    xs = A
+                else:
+                    if m not in masks:
+                        masks[m] = lane < LANES - m
+                    ra = pltpu.roll(A, LANES - m, 1)
+                    rb = pltpu.roll(B, LANES - m, 1)
+                    xs = jnp.where(masks[m], ra, rb)
+                for a in range(dof):
+                    j = s % NACC
+                    acc[a][j] = (
+                        acc[a][j] + dt_ref[(s * dof + a) * dof + b] * xs
+                    )
     return [sum(acc[a][1:], acc[a][0]) for a in range(dof)]
 
 

@@ -216,17 +216,26 @@ class StencilMatrix:
     def __matmul__(self, x):
         return self.matvec(x)
 
-    def fast_operator(self):
+    def fast_operator(self, interpret: Optional[bool] = None):
         """Return this operator re-packed for the Pallas stencil-SpMV
-        kernel (sparse/pallas_spmv.py) when the layout supports it —
-        open axes, K·dof² planes within the VMEM streaming budget —
+        kernel (sparse/pallas_spmv.py) when running on TPU and the
+        layout supports it (K·dof² planes within the streaming budget) —
         else ``self``.  The result exposes the same ``matvec`` /
         ``diagonal`` surface, so it drops into the Krylov solvers and
-        preconditioners unchanged."""
+        preconditioners unchanged.
+
+        Off-TPU the XLA path is returned unless ``interpret=True``
+        explicitly asks for the (slow, python-level) kernel
+        interpreter — this keeps CPU test/debug runs fast while every
+        default solve on hardware rides the kernel."""
         from .pallas_spmv import PallasStencilOperator, supported
 
+        if interpret is None and jax.default_backend() not in (
+            "tpu", "axon"
+        ):
+            return self
         if supported(self.stencil, jnp.dtype(self.data.dtype).itemsize):
-            return PallasStencilOperator(self)
+            return PallasStencilOperator(self, interpret=interpret)
         return self
 
     # ------------------------------------------------------------ structure
@@ -482,7 +491,7 @@ class SymmetricStencilMatrix:
     def scalar_diagonal(self) -> jnp.ndarray:
         return jnp.diagonal(self.data[:, 0], axis1=-2, axis2=-1)
 
-    def fast_operator(self):
+    def fast_operator(self, interpret=None):
         """Expand to full storage and re-pack for the Pallas kernel
         (transient full-size copy; storage stays half)."""
-        return self.to_full().fast_operator()
+        return self.to_full().fast_operator(interpret)

@@ -60,7 +60,36 @@ def run(n_dev):
     t0 = time.time()
     res = jax.block_until_ready(solve())
     t_cg = time.time() - t0
-    return t_asm, t_cg, ds.pgrid
+
+    # overlapped vs non-overlapped halo matvec (30 applications each)
+    def mv_loop(overlap):
+        def body(data_loc, x_loc):
+            dof = sp.dof
+            dl = data_loc.reshape(tuple(ds.L[::-1]) + (ds.st.K, dof, dof))
+            xl = x_loc.reshape(tuple(ds.L[::-1]) + (dof,))
+
+            def step(i, v):
+                y = ds.matvec_local(dl, v, overlap=overlap)
+                return y / jnp.sqrt(jax.lax.psum(jnp.sum(y * y),
+                                                 tuple(ds.names)))
+
+            return jax.lax.fori_loop(0, 30, step, xl)
+
+        return jax.jit(jax.shard_map(
+            body, mesh=ds.mesh,
+            in_specs=(ds.grid_spec(3), ds.grid_spec(1)),
+            out_specs=ds.grid_spec(1), check_vma=False,
+        ))
+
+    x0 = ds.pad_grid(jnp.ones((sp.nnodes, sp.dof), sp.dtype))
+    t_mv = {}
+    for ov in (True, False):
+        f = mv_loop(ov)
+        jax.block_until_ready(f(A, x0))
+        t0 = time.time()
+        jax.block_until_ready(f(A, x0))
+        t_mv[ov] = time.time() - t0
+    return t_asm, t_cg, t_mv, ds.pgrid
 
 
 def main():
@@ -69,7 +98,7 @@ def main():
     for n in (1, 2, 4, 8):
         if n > len(jax.devices()):
             break
-        t_asm, t_cg, pgrid = run(n)
+        t_asm, t_cg, t_mv, pgrid = run(n)
         if t1 is None:
             t1 = (t_asm, t_cg)
         results[n] = {
@@ -78,8 +107,27 @@ def main():
             "cg_s": round(t_cg, 4),
             "asm_eff": round(t1[0] / t_asm, 3),
             "cg_eff": round(t1[1] / t_cg, 3),
+            "matvec30_overlap_s": round(t_mv[True], 4),
+            "matvec30_noverlap_s": round(t_mv[False], 4),
         }
-    print(json.dumps({"weak_scaling_poisson3d_p2": results}))
+    out = {
+        "weak_scaling_poisson3d_p2": results,
+        "machine": {
+            "backend": jax.default_backend(),
+            "physical_cpus": os.cpu_count(),
+            "note": (
+                "8 VIRTUAL devices on this host's physical cores — with "
+                "fewer cores than devices the per-device times measure "
+                "time-sharing contention, not parallel efficiency; the "
+                "numbers bound program overhead structure only.  Run "
+                "unchanged on a real v5e-8 for ICI efficiencies."
+            ),
+        },
+    }
+    print(json.dumps(out))
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/bench_weak.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -158,3 +158,30 @@ def test_planes_row_aligned_mode():
         np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
     )
     np.testing.assert_allclose(np.asarray(b2), np.asarray(b), atol=1e-13)
+
+
+def test_separable_assembly_identical():
+    """Sum-factorized separable assembly (Kronecker element matrices
+    from per-axis 1-D factors) produces the IDENTICAL operator and load
+    vector as the generic quadrature path."""
+    from petiga_tpu.assembly.assemble import assemble_separable_planes
+
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.4, "k": 1.3})
+
+    def f(x):
+        return (0.4 + 1.3 * 3 * jnp.pi**2) * jnp.prod(jnp.sin(jnp.pi * x))
+
+    for ra in (False, True):
+        op, b2 = assemble_separable_planes(
+            sp, c=0.4, kappa=1.3, forcing=f, chunk=72, interpret=True,
+            row_aligned=ra, donate_loop=ra,
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(sp.nnodes, 1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-13
+        )
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(b),
+                                   atol=1e-14)

@@ -80,7 +80,9 @@ def test_symmetric_pallas_fast_operator():
     spp = make_space(3, p=2, nel=4, dtype=F64)
     Ap, _ = assemble_system(spp, poisson_system, {"c": 0.0, "k": 1.0})
     Sp = SymmetricStencilMatrix.from_full(Ap)
-    op = Sp.fast_operator()
+    op = Sp.fast_operator(interpret=True)
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+    assert isinstance(op, PallasStencilOperator)
     x = jnp.asarray(np.random.default_rng(2).normal(size=(spp.nnodes, 1)))
     np.testing.assert_allclose(
         np.asarray(op.matvec(x)), np.asarray(Ap.matvec(x)), atol=1e-12
