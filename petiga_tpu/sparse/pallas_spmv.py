@@ -351,6 +351,15 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         tot = _accumulate(window, shifts, dof, dtype, ROWS, dt_ref)
         y_ref[:, :, :] = jnp.stack(tot, axis=0)
 
+    kwargs = {}
+    if not interpret:
+        # Mosaic's default scoped-vmem limit is 16 MB; its internal
+        # accounting (pipeline buffers + stack) overruns it by ~0.4 MB
+        # at rows=64 even though the explicit buffers fit — raise the
+        # cap (v5e has 128 MB physical VMEM per core)
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2**20
+        )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((dof, M, LANES), dtype),
@@ -371,6 +380,7 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
             pltpu.SemaphoreType.DMA((2, dof)),
         ],
         interpret=interpret,
+        **kwargs,
     )(xb, DT)
 
 
