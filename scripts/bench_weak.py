@@ -29,6 +29,10 @@ if "host_platform_device_count" not in _flags:
     ).strip()
 
 import jax
+
+# the axon sitecustomize force-registers the remote TPU backend and
+# overrides JAX_PLATFORMS; the virtual mesh must be local CPU
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from petiga_tpu.models.poisson import make_space, poisson_system
