@@ -527,7 +527,9 @@ def assemble_system_planes(
         P, bg = carry
         ids_c, valid_c, c = xs
         Ke, Fe, _ = element_KF(ids_c, valid_c, None, system)
-        P = fastpath.accumulate_matrix_dyn_planes(space, P, Ke, c * kz, align)
+        P = fastpath.accumulate_matrix_dyn_planes(
+            space, P, Ke, c * kz, align, row_aligned=row_aligned
+        )
         bg = fastpath.accumulate_vector_dyn(space, bg, Fe, c * kz)
         return (P, bg), None
 
@@ -701,7 +703,7 @@ def assemble_separable_planes(
         Ke = chunk_Ke(ids_c) * valid_c[:, None, None].astype(dt)
         Ke = Ke[..., None, None]  # (B, nen_a, nen_b, 1, 1)
         P = fastpath.accumulate_matrix_dyn_planes(
-            space, P, Ke, cix * kz, align
+            space, P, Ke, cix * kz, align, row_aligned=row_aligned
         )
         Fe = F_chunk(ids_c, valid_c)
         if Fe is not None:

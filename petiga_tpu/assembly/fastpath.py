@@ -332,7 +332,7 @@ def accumulate_matrix_dyn(space, A_grid, Ke, z0, slot_table):
     return Agv.reshape(A_grid.shape)
 
 
-def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
+def accumulate_matrix_dyn_planes(space, P, Ke, z0, align, row_aligned=None):
     """Slot-major shift accumulation: the plane-direct counterpart of
     :func:`accumulate_matrix_dyn` writing straight into the Pallas flat
     layout, so large operators are never stored node-major at all.
@@ -360,7 +360,13 @@ def accumulate_matrix_dyn_planes(space, P, Ke, z0, align):
     """
     dim = space.dim
     dof = space.dof
-    if P.ndim == 3:
+    # Row-aligned P is the 3-D kernel layout (planes, M, 128).  A 2-D
+    # grid-shaped plane array (planes, Ne_y, Ne_x) is ALSO 3-dimensional,
+    # so the dispatch must check space.dim too (r3 shipped `P.ndim == 3`
+    # alone, which mis-routed every 2-D planes assembly).
+    if row_aligned is None:
+        row_aligned = dim == 3 and P.ndim == 3
+    if row_aligned:
         return _accumulate_planes_rowaligned(space, P, Ke, z0, align)
     sbox_rev = tuple(2 * p + 1 for p in space.degrees)[::-1]
     flat_shape = P.shape

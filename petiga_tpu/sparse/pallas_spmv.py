@@ -238,8 +238,11 @@ def _accumulate(window, shifts, dof, dtype, rows, dt_ref):
                 else:
                     if m not in masks:
                         masks[m] = lane < LANES - m
-                    ra = pltpu.roll(A, LANES - m, 1)
-                    rb = pltpu.roll(B, LANES - m, 1)
+                    # i32 cast: a bare Python int lowers to i64 under
+                    # x64 and tpu.dynamic_rotate requires an i32 shift
+                    sh = jnp.int32(LANES - m)
+                    ra = pltpu.roll(A, sh, 1)
+                    rb = pltpu.roll(B, sh, 1)
                     xs = jnp.where(masks[m], ra, rb)
                 for a in range(dof):
                     j = s % NACC
