@@ -1,0 +1,121 @@
+"""Conv (coefficient-form) assembly vs the generic quadrature path.
+
+``assemble_coefficient_planes`` restructures the generic second-order
+bilinear quadrature sum as one interior convolution + boundary boxes; it
+must reproduce ``assemble_system_planes`` with the synthesized pointwise
+form to f64 round-off — operator action, load vector, Dirichlet fix.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from petiga_tpu.core.axis import Axis
+from petiga_tpu.core.space import Space
+from petiga_tpu.models.poisson import make_space
+from petiga_tpu.assembly.assemble import assemble_system_planes
+from petiga_tpu.assembly.convform import (
+    assemble_coefficient_planes,
+    coefficient_pointwise_form,
+    poisson_coefficients,
+)
+
+F64 = jnp.float64
+
+
+def _compare(sp, coef, ctx=None, forcing=None, atol=1e-12):
+    form = coefficient_pointwise_form(coef, forcing)
+    A, b = assemble_system_planes(sp, form, ctx, interpret=True)
+    B, c = assemble_coefficient_planes(
+        sp, coef, ctx, forcing=forcing, interpret=True
+    )
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(sp.nnodes, sp.dof))
+    )
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=atol
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=atol)
+
+
+@pytest.mark.parametrize("dim,p,nel", [(1, 2, 9), (2, 2, 7), (3, 2, 6)])
+def test_conv_matches_generic_poisson(dim, p, nel):
+    sp = make_space(dim, p=p, nel=nel, dtype=F64)
+    _compare(
+        sp,
+        poisson_coefficients,
+        {"c": 0.4, "k": 1.3},
+        forcing=lambda x, ctx: jnp.prod(jnp.sin(jnp.pi * x), axis=-1),
+    )
+
+
+@pytest.mark.parametrize("p", [1, 3])
+def test_conv_degrees(p):
+    sp = make_space(2, p=p, nel=8, dtype=F64)
+    _compare(sp, poisson_coefficients, {"c": 0.1, "k": 2.0})
+
+
+def test_conv_variable_coefficients_advection():
+    """Variable diffusivity + advection (nonsymmetric cross channels) +
+    variable reaction: the full (1+d)^2 channel generality."""
+    sp = make_space(2, p=2, nel=9, dtype=F64)
+
+    def coef(x, ctx):
+        kxx = 1.0 + 0.5 * x[..., 0] * x[..., 1]
+        kyy = 2.0 - x[..., 0] ** 2 * 0.3
+        kxy = 0.1 * x[..., 0]
+        bx = 0.7 + x[..., 1]
+        by = -0.2
+        cc = 0.3 + x[..., 0]
+        return {
+            (1, 1): kxx,
+            (2, 2): kyy,
+            (1, 2): kxy,
+            (2, 1): kxy,
+            (0, 1): bx,   # advection: N_a * b_x d_x N_b
+            (0, 2): by,
+            (0, 0): cc,
+        }
+
+    _compare(sp, coef, forcing=lambda x, ctx: x[..., 0] + 2.0)
+
+
+def test_conv_no_interior():
+    """nel too small for an interior block: everything goes through the
+    boundary-box path."""
+    sp = make_space(2, p=2, nel=4, dtype=F64)
+    _compare(sp, poisson_coefficients, {"c": 0.2, "k": 1.0})
+
+
+def test_conv_anisotropic_mesh():
+    sp = make_space(3, p=2, nel=(7, 5, 8), dtype=F64)
+    _compare(sp, poisson_coefficients, {"c": 0.0, "k": 1.0})
+
+
+def test_conv_shell_chunking():
+    """Boundary boxes split into small chunks still accumulate exactly."""
+    sp = make_space(2, p=2, nel=10, dtype=F64)
+    form = coefficient_pointwise_form(poisson_coefficients)
+    ctx = {"c": 0.4, "k": 1.3}
+    A, _ = assemble_system_planes(sp, form, ctx, interpret=True)
+    B, _ = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, shell_chunk=17, interpret=True
+    )
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+
+
+def test_conv_interior_chunking():
+    sp = make_space(3, p=2, nel=8, dtype=F64)
+    ctx = {"c": 0.4, "k": 1.3}
+    form = coefficient_pointwise_form(poisson_coefficients)
+    A, _ = assemble_system_planes(sp, form, ctx, interpret=True)
+    B, _ = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, chunk_z=2, interpret=True
+    )
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
