@@ -116,26 +116,28 @@ def _axis_interior_run(t):
     1-D basis table on one axis -> (lo, hi).  Boundary-layer elements of
     an open knot vector have modified basis values and fall outside."""
     nel = t.nel
-    rows = np.round(
-        np.concatenate(
-            [
-                t.value[:, :, :2, :].reshape(nel, -1),
-                t.weight,
-                t.detJac[:, None],
-            ],
-            axis=1,
-        ),
-        12,
+    rows = np.concatenate(
+        [
+            t.value[:, :, :2, :].reshape(nel, -1),
+            t.weight,
+            t.detJac[:, None],
+        ],
+        axis=1,
     )
-    _, inv = np.unique(rows, axis=0, return_inverse=True)
-    vals, counts = np.unique(inv, return_counts=True)
-    mode = vals[np.argmax(counts)]
+    # tolerance classification: per-element Cox-de Boor evaluation at
+    # different knots jitters interior rows by ~1e-15 relative (exact
+    # rounding splits them — observed: half of a 64-element axis routed
+    # to the slow boundary path), while genuinely modified boundary
+    # tables differ at O(1) relative.  Any threshold between works.
+    scale = np.max(np.abs(rows)) or 1.0
+    mid = rows[nel // 2]  # middle element: interior whenever one exists
+    close = np.all(np.abs(rows - mid) <= 1e-8 * scale, axis=1)
     best = (0, 0)
     i = 0
     while i < nel:
-        if inv[i] == mode:
+        if close[i]:
             j = i
-            while j < nel and inv[j] == mode:
+            while j < nel and close[j]:
                 j += 1
             if j - i > best[1] - best[0]:
                 best = (i, j)
@@ -156,9 +158,10 @@ def _dimension_numbers(dim):
     }[dim]
 
 
-def _interior_kernel(space, chlist, dtype):
-    """Static conv kernel (taps_rev..., nch*Q, K) from the interior-type
-    1-D tables; taps pre-flipped for lax's correlation convention."""
+def _conv_kernel(space, chlist, dtype, reps):
+    """Static conv kernel (taps_rev..., nch*Q, K) from the 1-D tables of
+    representative elements ``reps[d]`` (interior rep or a boundary
+    layer); taps pre-flipped for lax's correlation convention."""
     dim = space.dim
     p = space.degrees
     nq = [space.tabs[d].nqp for d in range(dim)]
@@ -168,9 +171,12 @@ def _interior_kernel(space, chlist, dtype):
     G = []
     for d in range(dim):
         t = space.tabs[d]
-        lo, _ = _axis_interior_run(t)
+        lo = reps[d]
         V = t.value[lo, :, :2, :]  # (nq, 2, p+1)
-        # quadrature weights live in W (W = wq * C), NOT in the kernel
+        # per-axis quadrature weights ride in the kernel (type-constant),
+        # so W carries only the pointwise coefficients — a pure
+        # broadcast for constant-coefficient forms
+        wd = t.weight[lo] * t.detJac[lo]  # (nq,)
         g = np.zeros((2, 2, nq[d], nen_d[d], sK[d]))
         for a in range(nen_d[d]):
             for s in range(sK[d]):
@@ -178,7 +184,7 @@ def _interior_kernel(space, chlist, dtype):
                 if 0 <= b <= p[d]:
                     for da in range(2):
                         for db in range(2):
-                            g[da, db, :, a, s] = V[:, da, a] * V[:, db, b]
+                            g[da, db, :, a, s] = V[:, da, a] * V[:, db, b] * wd
         G.append(g)
 
     kers = []
@@ -196,14 +202,18 @@ def _interior_kernel(space, chlist, dtype):
     ker = np.stack(kers)  # (nch, q_rev..., a_rev..., s_rev...)
     Q = int(np.prod(nq))
     K = int(np.prod(sK))
-    ker = ker.reshape((len(chlist) * Q,) + tuple(nen_d[::-1]) + (K,))
+    # in-channel flat order (q, ch) — q-major, ch-minor — matching the
+    # space-to-depth W layout built from the fine quadrature grid
+    ker = np.moveaxis(ker, 0, dim)  # (q_rev..., nch, a_rev..., s_rev...)
+    ker = ker.reshape((Q * len(chlist),) + tuple(nen_d[::-1]) + (K,))
     ker = np.flip(ker, axis=tuple(range(1, 1 + dim)))  # correlation -> conv
-    ker = np.moveaxis(ker, 0, dim)  # (taps_rev..., nch*Q, K)
+    ker = np.moveaxis(ker, 0, dim)  # (taps_rev..., Q*nch, K)
     return jnp.asarray(ker, dtype)
 
 
-def _forcing_kernel(space, dtype):
-    """(taps_rev..., Q, 1) load-vector kernel from interior tables."""
+def _forcing_kernel(space, dtype, reps):
+    """(taps_rev..., Q, 1) load-vector kernel from the tables of
+    representative elements ``reps[d]``."""
     dim = space.dim
     p = space.degrees
     nq = [space.tabs[d].nqp for d in range(dim)]
@@ -211,8 +221,8 @@ def _forcing_kernel(space, dtype):
     k = np.ones(tuple(nq[::-1]) + tuple(nen_d[::-1]))
     for d in range(dim):
         t = space.tabs[d]
-        lo, _ = _axis_interior_run(t)
-        g = t.value[lo, :, 0, :]  # weights live in Wf = wq * f
+        lo = reps[d]
+        g = t.value[lo, :, 0, :] * (t.weight[lo] * t.detJac[lo])[:, None]
         sh = [1] * (2 * dim)
         gi = dim - 1 - d
         sh[gi] = nq[d]
@@ -228,123 +238,111 @@ def _forcing_kernel(space, dtype):
 # ----------------------------------------------------------------- W tensors
 
 
-def _box_1d_tables(space, lo, ext, dtype):
-    """Per-axis (wdet, x) slices for an element box."""
-    wdet, xs = [], []
-    for d in range(space.dim):
-        t = space.tabs[d]
-        sl = slice(lo[d], lo[d] + ext[d])
-        wdet.append(jnp.asarray(t.weight[sl] * t.detJac[sl, None], dtype))
-        xs.append(jnp.asarray(t.point[sl], dtype))
-    return wdet, xs
-
-
-def _box_wq_x(space, wdet, xs):
-    """(E_rev..., q_rev...) weight grid and (E_rev..., q_rev..., dim)
-    quad-point coordinates for a box, from per-axis 1-D tables."""
+def _fine_X(space, axis_xf, blo, bext):
+    """Quadrature-point coordinates of an element box on the FINE tensor
+    grid (per-axis flat index ``e·nq + q``): shape (f_rev..., dim) with
+    the large fine extents minor — the layout the VPU tiles well (the
+    interleaved (E..., q..., dim) broadcast shape does not)."""
     dim = space.dim
-    eshape = [w.shape[0] for w in wdet]
-    nq = [w.shape[1] for w in wdet]
-    full = tuple(eshape[::-1]) + tuple(nq[::-1])
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    xs = [
+        axis_xf[d][blo[d] * nq[d]:(blo[d] + bext[d]) * nq[d]]
+        for d in range(dim)
+    ]
+    fine_rev = tuple(bext[d] * nq[d] for d in range(dim))[::-1]
 
-    def lift(arr, d):
-        sh = [1] * (2 * dim)
-        gi = dim - 1 - d
-        sh[gi] = eshape[d]
-        sh[dim + gi] = nq[d]
-        return arr.reshape(sh)
+    def lift(a, d):
+        sh = [1] * dim
+        sh[dim - 1 - d] = a.shape[0]
+        return a.reshape(sh)
 
-    wq = lift(wdet[0], 0)
-    for d in range(1, dim):
-        wq = wq * lift(wdet[d], d)
-    wq = jnp.broadcast_to(wq, full)
-    X = jnp.stack(
-        [jnp.broadcast_to(lift(xs[d], d), full) for d in range(dim)],
+    return jnp.stack(
+        [jnp.broadcast_to(lift(xs[d], d), fine_rev) for d in range(dim)],
         axis=-1,
     )
-    return wq, X
+
+
+def _space_to_depth(space, F, bext):
+    """(f_rev..., C) fine-grid field -> (E_rev..., Q·C) conv input
+    (q-major, C-minor flat channel order, matching ``_conv_kernel``)."""
+    dim = space.dim
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    C = F.shape[-1]
+    shape6 = []
+    for g in range(dim):
+        shape6 += [bext[dim - 1 - g], nq[dim - 1 - g]]
+    F6 = F.reshape(tuple(shape6) + (C,))
+    perm = [2 * g for g in range(dim)] + [2 * g + 1 for g in range(dim)]
+    perm += [2 * dim]
+    return F6.transpose(perm).reshape(tuple(bext[::-1]) + (-1,))
 
 
 # ------------------------------------------------------- shell accumulation
 
 
-def _accumulate_box_grid(space, Pg, Ke, lo, ext):
+def _box_node_slices(space, lo, ext):
+    """Node region [lo, lo + ext + p) per axis, grid (reversed) order."""
+    dim = space.dim
+    nshape = space.nen_shape
+    return tuple(
+        slice(lo[dim - 1 - g],
+              lo[dim - 1 - g] + ext[dim - 1 - g] + nshape[dim - 1 - g] - 1)
+        for g in range(dim)
+    )
+
+
+def _accumulate_box_grid(space, Pg, Ke, Fe, bg, lo, ext):
     """Shift-accumulate element blocks of a static box into grid-shaped
-    planes ``Pg (K, Ne_rev...)`` (dof = 1).  All offsets static."""
-    dim = space.dim
-    p = space.degrees
-    nen = space.nen
-    nshape = space.nen_shape
-    sbox_rev = tuple(2 * pd + 1 for pd in p)[::-1]
-    Ne_rev = Pg.shape[1:]
-    locs = fastpath._local_multi(space)
-    KeG = Ke.reshape(tuple(ext[::-1]) + (nen,) + tuple(nshape[::-1]))
-    Pv = Pg.reshape(sbox_rev + Ne_rev)
-    for a in range(nen):
-        am = [int(locs[d][a]) for d in range(dim)]
-        g = KeG[..., a, :, :, :] if dim == 3 else (
-            KeG[..., a, :, :] if dim == 2 else KeG[..., a, :]
-        )
-        # g: (box_rev..., b_rev...) -> (b_rev..., box_rev...)
-        g = jnp.moveaxis(
-            g, tuple(range(dim)), tuple(range(dim, 2 * dim))
-        )
-        slot_sl = tuple(
-            slice(p[dim - 1 - gx] - am[dim - 1 - gx],
-                  p[dim - 1 - gx] - am[dim - 1 - gx] + nshape[dim - 1 - gx])
-            for gx in range(dim)
-        )
-        node_sl = tuple(
-            slice(lo[dim - 1 - gx] + am[dim - 1 - gx],
-                  lo[dim - 1 - gx] + am[dim - 1 - gx] + ext[dim - 1 - gx])
-            for gx in range(dim)
-        )
-        Pv = Pv.at[slot_sl + node_sl].add(g)
-    return Pv.reshape(Pg.shape)
+    planes ``Pg (K, Ne_rev...)`` and load grid ``bg`` (dof = 1).
+
+    The shift adds run on a box-LOCAL grid (``fastpath.accumulate_box``)
+    and land in the global planes as ONE slab add per box — per-``a``
+    adds directly on the multi-GB planes array made XLA copy it each
+    time (observed 0.26 s of pure accumulation at 128³)."""
+    Gm, Gv = fastpath.accumulate_box(
+        space, tuple(ext), Ke[..., None, None], Fe, 0
+    )
+    node_sl = _box_node_slices(space, lo, ext)
+    Pg = Pg.at[(slice(None),) + node_sl].add(
+        jnp.moveaxis(Gm[..., 0, 0], -1, 0)
+    )
+    bg = bg.at[node_sl + (slice(None),)].add(Gv)
+    return Pg, bg
 
 
-def _accumulate_box_vector(space, bg, Fe, lo, ext):
-    """Vector counterpart: ``bg (N_rev..., dof)``, Fe (B, nen, dof)."""
-    dim = space.dim
-    nen = space.nen
-    nshape = space.nen_shape
-    locs = fastpath._local_multi(space)
-    FeG = Fe.reshape(tuple(ext[::-1]) + (nen, space.dof))
-    for a in range(nen):
-        am = [int(locs[d][a]) for d in range(dim)]
-        node_sl = tuple(
-            slice(lo[dim - 1 - gx] + am[dim - 1 - gx],
-                  lo[dim - 1 - gx] + am[dim - 1 - gx] + ext[dim - 1 - gx])
-            for gx in range(dim)
-        )
-        bg = bg.at[node_sl + (slice(None),)].add(FeG[..., a, :])
-    return bg
+def _axis_options(space):
+    """Per-axis block options: the interior run plus one single-element
+    layer per boundary element.  Each combination across axes is a box
+    of elements sharing ONE basis-table type combo (constant conv
+    kernel)."""
+    opts = []
+    for d in range(space.dim):
+        t = space.tabs[d]
+        lo, hi = _axis_interior_run(t)
+        o = []
+        if hi > lo:
+            o.append((lo, hi, lo))  # (start, stop, rep element)
+        for l in range(0, lo):
+            o.append((l, l + 1, l))
+        for l in range(hi, t.nel):
+            o.append((l, l + 1, l))
+        opts.append(o)
+    return opts
 
 
-def _shell_boxes(eshape, lo, hi):
-    """Partition of the element grid minus the interior box into at most
-    2*dim disjoint boxes (slowest axis split first, full cross-section)."""
-    dim = len(eshape)
-    boxes = []
-    for d in range(dim - 1, -1, -1):
-        pre = [(lo[dd], hi[dd] - lo[dd]) for dd in range(d + 1, dim)]
-        full = [(0, eshape[dd]) for dd in range(d)]
+def _combo_boxes(space):
+    """All type-combo boxes: (blo, bext, reps) tuples covering the
+    element grid disjointly."""
+    import itertools
 
-        def mk(r0, r1):
-            blo = [0] * dim
-            bext = [0] * dim
-            for dd in range(d):
-                blo[dd], bext[dd] = full[dd]
-            blo[d], bext[d] = r0, r1 - r0
-            for k, dd in enumerate(range(d + 1, dim)):
-                blo[dd], bext[dd] = pre[k]
-            return tuple(blo), tuple(bext)
-
-        if lo[d] > 0:
-            boxes.append(mk(0, lo[d]))
-        if hi[d] < eshape[d]:
-            boxes.append(mk(hi[d], eshape[d]))
-    return [b for b in boxes if all(e > 0 for e in b[1])]
+    out = []
+    for sel in itertools.product(*_axis_options(space)):
+        blo = tuple(s[0] for s in sel)
+        bext = tuple(s[1] - s[0] for s in sel)
+        reps = tuple(s[2] for s in sel)
+        if all(e > 0 for e in bext):
+            out.append((blo, bext, reps))
+    return out
 
 
 def _split_box(lo, ext, max_elems):
@@ -396,6 +394,7 @@ def assemble_coefficient_planes(
     forcing: Optional[Callable] = None,
     chunk_z: Optional[int] = None,
     shell_chunk: int = 32768,
+    conv_min: int = 2048,
     apply_fix: bool = True,
     interpret: Optional[bool] = None,
 ):
@@ -435,112 +434,165 @@ def assemble_coefficient_planes(
     Ne = tuple(n + a for n, a in zip(N, align))
     K = st.K
 
-    runs = [_axis_interior_run(space.tabs[d]) for d in range(dim)]
-    lo = [r[0] for r in runs]
-    hi = [r[1] for r in runs]
-    have_interior = all(hi[d] > lo[d] for d in range(dim))
-
-    # channel list: probe the spec once at a representative point
+    # channel list: probe the spec once at a representative point.  A
+    # channel returning shape () cannot depend on x -> spatially
+    # constant; constant-only specs skip the per-point W materialization
+    # entirely (W is a broadcast of the (nch,) coefficient vector).
     x0 = np.zeros((1, dim))
-    chlist = sorted(coef(jnp.asarray(x0, dt), ctx).keys())
+    probe = coef(jnp.asarray(x0, dt), ctx)
+    chlist = sorted(probe.keys())
     for (i, j) in chlist:
         if not (0 <= i <= dim and 0 <= j <= dim):
             raise ValueError(f"channel {(i, j)} out of range (order-1 only)")
+    all_const = all(np.shape(probe[c]) == () for c in chlist)
 
-    ker = _interior_kernel(space, chlist, dt) if have_interior else None
-    kerf = (
-        _forcing_kernel(space, dt)
-        if (have_interior and forcing is not None)
-        else None
-    )
+    # type-combo boxes: large ones (the interior block + whole boundary
+    # faces) run as convolutions with their own constant kernels; small
+    # ones (edges/corners — O(p²·nel) elements) take the generic
+    # quadrature path with box-local shift accumulation.
+    conv_boxes = []
+    gen_boxes = []
+    for blo, bext, reps in _combo_boxes(space):
+        if int(np.prod(bext)) >= conv_min:
+            conv_boxes.append((blo, bext, reps))
+        else:
+            gen_boxes.extend(_split_box(blo, bext, shell_chunk))
+
+    kers = {}
+    kerfs = {}
+    for _, _, reps in conv_boxes:
+        if reps not in kers:
+            kers[reps] = _conv_kernel(space, chlist, dt, reps)
+            if forcing is not None:
+                kerfs[reps] = _forcing_kernel(space, dt, reps)
     dn = _dimension_numbers(dim)
     pad = [(p[d], p[d]) for d in range(dim)][::-1]
 
     form = coefficient_pointwise_form(coef, forcing)
-    element_KF = _make_element_KF(space, ctx, 1, False)
 
-    # interior z-chunks (slowest-axis splits of the interior box)
-    int_ext = tuple(hi[d] - lo[d] for d in range(dim))
-    if have_interior:
-        ez = int_ext[dim - 1]
-        if chunk_z is None:
-            # keep the per-chunk W tensor around ~128 MB
-            Q = int(np.prod([space.tabs[d].nqp for d in range(dim)]))
-            per_layer = (
-                int(np.prod(int_ext[:-1])) * len(chlist) * Q * jnp.dtype(dt).itemsize
-            )
-            chunk_z = max(1, min(ez, (128 * 2**20) // max(per_layer, 1)))
-        zsplits = []
+    # slowest-axis chunking of conv boxes bounds the W tensor (~256 MB);
+    # the constant-coefficient no-forcing case needs none (W is a pure
+    # broadcast, no memory)
+    Q = int(np.prod([space.tabs[d].nqp for d in range(dim)]))
+
+    def _zsplits(bext):
+        ez = bext[dim - 1]
+        cz = chunk_z
+        if cz is None:
+            if all_const and forcing is None:
+                cz = ez
+            else:
+                per_layer = (
+                    int(np.prod(bext[:-1])) * len(chlist) * Q * 2
+                    * jnp.dtype(dt).itemsize
+                ) if dim > 1 else 1
+                cz = max(1, min(ez, (256 * 2**20) // max(per_layer, 1)))
+        out = []
         s = 0
         while s < ez:
-            e = min(chunk_z, ez - s)
-            zsplits.append((s, e))
+            e = min(cz, ez - s)
+            out.append((s, e))
             s += e
-    else:
-        zsplits = []
+        return out
 
-    shell = []
-    for blo, bext in _shell_boxes(eshape, lo, hi) if have_interior else [
-        (tuple(0 for _ in range(dim)), tuple(eshape))
-    ]:
-        shell.extend(_split_box(blo, bext, shell_chunk))
+    # Per-axis fine-grid coordinates and per-box element ids enter the
+    # program as jit ARGUMENTS: as closure constants, XLA's TPU pipeline
+    # constant-folds them through the W/tabulation broadcasts into
+    # multi-GB embedded literals (observed: a 2.9 GB executable at 64³).
+    axis_xf = tuple(
+        jnp.asarray(space.tabs[d].point.reshape(-1), dt)
+        for d in range(dim)
+    )
 
-    def run():
+    def run(run_ctx, axis_xf, gen_ids):
+        element_KF = _make_element_KF(space, run_ctx, 1, False)
         Pg = jnp.zeros((K,) + tuple(Ne[::-1]), dt)
         bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
 
-        # ---- interior convolution, chunked along the slowest axis
-        for (zs, zext) in zsplits:
-            blo = list(lo)
-            bext = list(int_ext)
-            blo[dim - 1] = lo[dim - 1] + zs
-            bext[dim - 1] = zext
-            wdet, xs = _box_1d_tables(space, blo, bext, dt)
-            wq, X = _box_wq_x(space, wdet, xs)
-            ch = coef(X, ctx)
-            W = jnp.stack(
-                [
-                    wq * jnp.broadcast_to(jnp.asarray(ch[c], dt), wq.shape)
-                    for c in chlist
-                ],
-                axis=dim,
-            )  # (E_rev..., nch, q_rev...)
-            W = W.reshape(tuple(bext[::-1]) + (-1,))
-            out = jax.lax.conv_general_dilated(
-                W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
-                preferred_element_type=dt,
-            )[0]
-            # nodes [blo, blo + bext + p) per axis
-            node_sl = tuple(
-                slice(blo[dim - 1 - g],
-                      blo[dim - 1 - g] + bext[dim - 1 - g] + p[dim - 1 - g])
-                for g in range(dim)
-            )
-            Pg = Pg.at[(slice(None),) + node_sl].add(
-                jnp.moveaxis(out, dim, 0)
-            )
-            if kerf is not None:
-                f = jnp.broadcast_to(
-                    jnp.asarray(forcing(X, ctx), dt), wq.shape
-                )
-                Wf = (wq * f).reshape(tuple(bext[::-1]) + (-1,))
-                outf = jax.lax.conv_general_dilated(
-                    Wf[None], kerf, (1,) * dim, pad, dimension_numbers=dn,
+        # ---- type-combo convolutions, chunked along the slowest axis
+        for blo0, bext0, reps in conv_boxes:
+            ker = kers[reps]
+            nchQ = ker.shape[dim]
+            for (zs, zext) in _zsplits(bext0):
+                blo = list(blo0)
+                bext = list(bext0)
+                blo[dim - 1] = blo0[dim - 1] + zs
+                bext[dim - 1] = zext
+                X = None
+                if all_const:
+                    # constant coefficients: W is a broadcast (weights
+                    # ride in the kernel) — no per-point tensor at all
+                    chv = coef(jnp.zeros((1, dim), dt), run_ctx)
+                    cvec = jnp.stack(
+                        [jnp.asarray(chv[c], dt).reshape(()) for c in chlist]
+                    )
+                    W = jnp.broadcast_to(
+                        jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
+                    )
+                else:
+                    X = _fine_X(space, axis_xf, blo, bext)
+                    ch = coef(X, run_ctx)
+                    F = jnp.stack(
+                        [
+                            jnp.broadcast_to(
+                                jnp.asarray(ch[c], dt), X.shape[:-1]
+                            )
+                            for c in chlist
+                        ],
+                        axis=-1,
+                    )  # (f_rev..., nch)
+                    W = _space_to_depth(space, F, bext)
+                out = jax.lax.conv_general_dilated(
+                    W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
                     preferred_element_type=dt,
                 )[0]
-                bg = bg.at[node_sl + (slice(None),)].add(outf)
+                # nodes [blo, blo + bext + p) per axis
+                node_sl = tuple(
+                    slice(blo[dim - 1 - g],
+                          blo[dim - 1 - g] + bext[dim - 1 - g]
+                          + p[dim - 1 - g])
+                    for g in range(dim)
+                )
+                Pg = Pg.at[(slice(None),) + node_sl].add(
+                    jnp.moveaxis(out, dim, 0)
+                )
+                if forcing is not None:
+                    if X is None:
+                        X = _fine_X(space, axis_xf, blo, bext)
+                    # the forcing kernel carries the weights too
+                    Ff = jnp.broadcast_to(
+                        jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
+                    )[..., None]
+                    Wf = _space_to_depth(space, Ff, bext)
+                    outf = jax.lax.conv_general_dilated(
+                        Wf[None], kerfs[reps], (1,) * dim, pad,
+                        dimension_numbers=dn, preferred_element_type=dt,
+                    )[0]
+                    bg = bg.at[node_sl + (slice(None),)].add(outf)
 
-        # ---- boundary boxes through the generic quadrature path
-        for (blo, bext) in shell:
-            ids = _box_ids(eshape, blo, bext)
+        # ---- small boxes (edges/corners) via the generic path
+        for (blo, bext), ids in zip(gen_boxes, gen_ids):
             valid = jnp.ones((ids.shape[0],), bool)
             Ke, Fe, _ = element_KF(ids, valid, None, form)
             Ke = Ke.reshape(ids.shape[0], space.nen, space.nen)
-            Pg = _accumulate_box_grid(space, Pg, Ke, blo, bext)
-            bg = _accumulate_box_vector(space, bg, Fe, blo, bext)
+            Pg, bg = _accumulate_box_grid(
+                space, Pg, Ke, Fe, bg, blo, bext
+            )
         return Pg, bg
 
-    Pg, bg = jax.jit(run)()
+    # One cached executable per (space, coef structure): ctx flows as a
+    # jit ARGUMENT so repeated assemblies with new coefficient values
+    # reuse the same program (no recompiles — the bench methodology).
+    cache_key = (
+        "convform", coef, forcing, tuple(chlist), chunk_z, shell_chunk,
+        conv_min, dt,
+    )
+    fn = space._device_cache.get(cache_key)
+    if fn is None:
+        fn = jax.jit(run)
+        space._device_cache[cache_key] = fn
+    gen_ids = tuple(_box_ids(eshape, blo, bext) for blo, bext in gen_boxes)
+    Pg, bg = fn(ctx, axis_xf, gen_ids)
     M = int(np.prod(Ne)) // LANES
     op = PallasStencilOperator.from_planes(
         st, Pg.reshape(K, M, LANES), align, interpret=interpret

@@ -1,0 +1,144 @@
+"""Mixed-precision iterative refinement: f32 assembled inner solves with
+an f64 matrix-free residual.
+
+The reference computes in ``PetscReal`` (double) end-to-end; at 256³ p=2
+an f64 assembled operator is ~17 GB and cannot fit one chip, but the f64
+*residual* only needs the per-axis 1-D tables (sum-factorized apply —
+:class:`~petiga_tpu.sparse.matfree.MatFreeOperator` on an f64 clone of
+the space).  Classic iterative refinement (Wilkinson; Carson–Higham
+SIAM 2018):
+
+    x_{k+1} = x_k + solve_f32(b_f64 - A_f64 x_k)
+
+contracts the error by ~cond(A)·eps_f32 per pass (~1e-2 at the 256³
+condition number), so 2–4 passes leave the solution at the f64/
+discretization floor instead of the f32 rounding floor (round-3 gap:
+L2 3.8e-4 vs the ~1e-6 f64 discretization error; VERDICT r3 item 4).
+
+Dirichlet semantics match the assembled post-fix exactly (fixed rows
+``mult·u``): ``MatFreeOperator`` implements the same elimination, so the
+f64 residual of the f32-assembled, post-fixed operator is consistent.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..assembly.assemble import _node_multiplicity, assemble_vector
+from ..sparse.matfree import MatFreeOperator
+from .krylov import cg
+
+__all__ = ["clone_f64", "assemble_rhs_f64", "refined_solve"]
+
+
+def clone_f64(space):
+    """f64 clone sharing the discretization, BCs, and geometry."""
+    sp64 = space.clone(dtype=jnp.float64)
+    sp64.bc = space.bc
+    sp64.bc_visit = space.bc_visit
+    sp64.fix_table = space.fix_table
+    sp64.geometry = space.geometry
+    sp64.rational = space.rational
+    sp64.property = space.property
+    return sp64
+
+
+def _fix_rhs(sp64, A64, b):
+    """Dirichlet elimination on an f64 load vector, mirroring the
+    assembled post-fix (b -= A·lift; fixed rows = mult·v)."""
+    mask, vals = sp64.device("dirichlet")
+    mask = mask.astype(b.dtype)
+    vals = vals.astype(b.dtype)
+    mult = jnp.asarray(_node_multiplicity(sp64), b.dtype)
+    lift = mask * vals
+    b2 = b - A64.matvec(lift).reshape(b.shape)
+    return jnp.where(mask > 0, mult[:, None] * vals, b2 * (1.0 - mask))
+
+
+def assemble_rhs_f64(sp64, A64, forcing: Callable, *, chunk=None):
+    """f64 load vector ``b_a = ∫ f N_a`` with assembled-style Dirichlet
+    elimination; ``forcing(x) -> scalar`` at a physical point."""
+
+    def vecform(pt, ctx):
+        return forcing(pt.x) * pt.shape0
+
+    b = assemble_vector(sp64, vecform, order=0, chunk=chunk)
+    return _fix_rhs(sp64, A64, b)
+
+
+def refined_solve(
+    space,
+    op,
+    b64,
+    *,
+    c: float = 0.0,
+    kappa: float = 1.0,
+    C=None,
+    Kmat=None,
+    rtol_inner: float = 1e-6,
+    rtol: float = 1e-12,
+    max_refine: int = 6,
+    maxiter_inner: int = 2000,
+    zchunk: Optional[int] = None,
+    A64: Optional[MatFreeOperator] = None,
+    sp64=None,
+):
+    """Solve ``A x = b`` to f64 accuracy with f32 inner solves.
+
+    Args:
+      space: the (f32) space the operator was assembled on.
+      op: packed f32 ``PallasStencilOperator`` (Dirichlet post-fixed).
+      b64: f64 load vector (``assemble_rhs_f64``).
+      c/kappa/C/Kmat: the coefficient(s) of the assembled form, passed
+        to the f64 matrix-free residual operator.
+      rtol: outer stopping criterion on ||r||/||b|| in f64.
+
+    Returns ``(x64, info)`` with per-pass residual history.
+    """
+    if sp64 is None:
+        sp64 = clone_f64(space)
+    if A64 is None:
+        A64 = MatFreeOperator(sp64, c=c, kappa=kappa, C=C, Kmat=Kmat,
+                              zchunk=zchunk)
+    dinv = op.packed_diag_inv()
+    DT = op.DT
+
+    @jax.jit
+    def inner(r32):
+        res = cg(
+            lambda v: op.matvec_xb(DT, v),
+            op.pack_vec(r32),
+            M=lambda z: z * dinv,
+            rtol=rtol_inner,
+            maxiter=maxiter_inner,
+        )
+        return op.unpack_vec(res.x), res.iters
+
+    @jax.jit
+    def residual(x64):
+        r = b64 - A64.matvec(x64).reshape(b64.shape)
+        return r, jnp.sqrt(jnp.vdot(r, r).real)
+
+    bnorm = float(jnp.sqrt(jnp.vdot(b64, b64).real))
+    x = jnp.zeros_like(b64)
+    hist = []
+    iters = []
+    for _ in range(max_refine):
+        r, rn = residual(x)
+        rn = float(rn)
+        hist.append(rn)
+        if rn <= rtol * bnorm:
+            break
+        e32, it = inner(r.astype(jnp.float32))
+        iters.append(int(it))
+        x = x + e32.astype(jnp.float64)
+    r, rn = residual(x)
+    hist.append(float(rn))
+    return x, {
+        "residuals": hist,
+        "inner_iters": iters,
+        "relative_residual": float(rn) / bnorm,
+    }

@@ -184,11 +184,13 @@ def _plan(stencil, itemsize: int = 4, align=None, pads=None):
         if x_bytes + dt_bytes + out_bytes <= VMEM_BUDGET:
             return ("vmem", r, G, M, next_)
     Gh = -(-G // 8) * 8  # sublane-aligned DMA windows
-    # leave ~4.5 MB of the 16 MB scoped-vmem limit for Mosaic's stack
-    # and the (q-grouped, ≤2 live) window loads; prefer large rows —
-    # every row of guard halves the x window-read amplification 2G/rows
-    hbm_budget = min(VMEM_BUDGET, int(11.5 * 2**20))
-    for r in (128, 64, 32, 16, 8):
+    # The x window-read amplification is (rows + 2·guard)/rows, so rows
+    # should be as large as the physical VMEM allows (v5e: 128 MiB per
+    # core; the kernel raises Mosaic's scoped-vmem cap accordingly).
+    # ~88 MiB of explicit buffers leaves headroom for Mosaic's stack
+    # and the (q-grouped, ≤2 live) window loads.
+    hbm_budget = int(88 * 2**20)
+    for r in (512, 384, 256, 128, 64, 32, 16, 8):
         win = r + 2 * Gh
         dt_bytes = 2 * planes * r * LANES * itemsize
         x_bytes = 2 * dof * win * LANES * itemsize
@@ -356,12 +358,12 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
 
     kwargs = {}
     if not interpret:
-        # Mosaic's default scoped-vmem limit is 16 MB; its internal
-        # accounting (pipeline buffers + stack) overruns it by ~0.4 MB
-        # at rows=64 even though the explicit buffers fit — raise the
-        # cap (v5e has 128 MB physical VMEM per core)
+        # Mosaic's default scoped-vmem limit is 16 MB; the plan sizes
+        # rows against ~88 MB of explicit buffers (large rows shrink the
+        # x window-read amplification (rows+2G)/rows), so raise the cap
+        # toward the 128 MB physical VMEM of a v5e core.
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 2**20
+            vmem_limit_bytes=100 * 2**20
         )
     return pl.pallas_call(
         kernel,

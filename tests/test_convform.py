@@ -23,11 +23,12 @@ from petiga_tpu.assembly.convform import (
 F64 = jnp.float64
 
 
-def _compare(sp, coef, ctx=None, forcing=None, atol=1e-12):
+def _compare(sp, coef, ctx=None, forcing=None, atol=1e-12, **kw):
+    kw.setdefault("conv_min", 8)  # exercise the conv path at test sizes
     form = coefficient_pointwise_form(coef, forcing)
     A, b = assemble_system_planes(sp, form, ctx, interpret=True)
     B, c = assemble_coefficient_planes(
-        sp, coef, ctx, forcing=forcing, interpret=True
+        sp, coef, ctx, forcing=forcing, interpret=True, **kw
     )
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(sp.nnodes, sp.dof))
@@ -85,6 +86,13 @@ def test_conv_no_interior():
     boundary-box path."""
     sp = make_space(2, p=2, nel=4, dtype=F64)
     _compare(sp, poisson_coefficients, {"c": 0.2, "k": 1.0})
+
+
+def test_conv_default_threshold_all_generic():
+    """Below the default conv_min everything runs generic — identical."""
+    sp = make_space(2, p=2, nel=8, dtype=F64)
+    _compare(sp, poisson_coefficients, {"c": 0.2, "k": 1.0},
+             conv_min=2048)
 
 
 def test_conv_anisotropic_mesh():
