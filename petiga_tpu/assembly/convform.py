@@ -291,23 +291,18 @@ def _box_node_slices(space, lo, ext):
     )
 
 
-def _accumulate_box_grid(space, Pg, Ke, Fe, bg, lo, ext):
-    """Shift-accumulate element blocks of a static box into grid-shaped
-    planes ``Pg (K, Ne_rev...)`` and load grid ``bg`` (dof = 1).
-
-    The shift adds run on a box-LOCAL grid (``fastpath.accumulate_box``)
-    and land in the global planes as ONE slab add per box — per-``a``
-    adds directly on the multi-GB planes array made XLA copy it each
-    time (observed 0.26 s of pure accumulation at 128³)."""
+def _box_contrib(space, Ke, Fe, ext):
+    """Box-local accumulation of element blocks (dof = 1): returns the
+    (K, node_ext_rev...) plane contribution and the (node_ext_rev..., 1)
+    load contribution.  The shift adds run on the box-LOCAL grid
+    (``fastpath.accumulate_box``) and land in the global planes as ONE
+    slab add per box — per-``a`` adds directly on the multi-GB planes
+    array made XLA copy it each time (observed 0.26 s of pure
+    accumulation at 128³)."""
     Gm, Gv = fastpath.accumulate_box(
         space, tuple(ext), Ke[..., None, None], Fe, 0
     )
-    node_sl = _box_node_slices(space, lo, ext)
-    Pg = Pg.at[(slice(None),) + node_sl].add(
-        jnp.moveaxis(Gm[..., 0, 0], -1, 0)
-    )
-    bg = bg.at[node_sl + (slice(None),)].add(Gv)
-    return Pg, bg
+    return jnp.moveaxis(Gm[..., 0, 0], -1, 0), Gv
 
 
 def _axis_options(space):
@@ -395,6 +390,8 @@ def assemble_coefficient_planes(
     chunk_z: Optional[int] = None,
     shell_chunk: int = 32768,
     conv_min: int = 2048,
+    row_aligned: Optional[bool] = None,
+    donate_loop: bool = False,
     apply_fix: bool = True,
     interpret: Optional[bool] = None,
 ):
@@ -430,9 +427,19 @@ def assemble_coefficient_planes(
     p = space.degrees
     eshape = space.elem_shape
     N = space.node_shape
-    align = alignment_pads(st)
+    # row-aligned mode (3-D): the plane array lives in the kernel's
+    # (K, M, 128) layout throughout — mandatory once the planes are a
+    # significant fraction of HBM (grid-shaped materialization lane-pads
+    # the minor spatial dim 1.5x and copies; OOM at 256³).  Conv-chunk
+    # results land through grid-shaped VIEWS of static z-row windows.
+    est = st.K * st.nnodes * jnp.dtype(dt).itemsize
+    if row_aligned is None:
+        row_aligned = dim == 3 and est > 2 * 2**30
+    row_aligned = bool(row_aligned) and dim == 3
+    align = alignment_pads(st, row_aligned=row_aligned)
     Ne = tuple(n + a for n, a in zip(N, align))
     K = st.K
+    rpz = int(np.prod(Ne[:-1])) // 128 if dim == 3 else None
 
     # channel list: probe the spec once at a representative point.  A
     # channel returning shape () cannot depend on x -> spatially
@@ -479,14 +486,19 @@ def assemble_coefficient_planes(
         ez = bext[dim - 1]
         cz = chunk_z
         if cz is None:
-            if all_const and forcing is None:
-                cz = ez
-            else:
+            cz = ez
+            if not (all_const and forcing is None):
                 per_layer = (
                     int(np.prod(bext[:-1])) * len(chlist) * Q * 2
                     * jnp.dtype(dt).itemsize
                 ) if dim > 1 else 1
-                cz = max(1, min(ez, (256 * 2**20) // max(per_layer, 1)))
+                cz = max(1, min(cz, (256 * 2**20) // max(per_layer, 1)))
+            # conv OUTPUT chunk (zext+p, fast node extents, K) capped too
+            out_layer = (
+                int(np.prod([bext[d] + p[d] for d in range(dim - 1)]))
+                * K * jnp.dtype(dt).itemsize
+            )
+            cz = max(1, min(cz, (512 * 2**20) // max(out_layer, 1)))
         out = []
         s = 0
         while s < ez:
@@ -504,95 +516,160 @@ def assemble_coefficient_planes(
         for d in range(dim)
     )
 
-    def run(run_ctx, axis_xf, gen_ids):
-        element_KF = _make_element_KF(space, run_ctx, 1, False)
-        Pg = jnp.zeros((K,) + tuple(Ne[::-1]), dt)
-        bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
+    def add_planes(Pg, contrib, node_sl):
+        """Add (K, zw, wy, wx) into the planes at a static node region;
+        in row-aligned mode through a grid-shaped view of the whole-row
+        z-window."""
+        if not row_aligned:
+            return Pg.at[(slice(None),) + node_sl].add(contrib)
+        zsl = node_sl[0]
+        r0, r1 = zsl.start * rpz, zsl.stop * rpz
+        win = Pg[:, r0:r1, :].reshape(
+            K, zsl.stop - zsl.start, Ne[1], Ne[0]
+        )
+        win = win.at[(slice(None), slice(None)) + node_sl[1:]].add(contrib)
+        return Pg.at[:, r0:r1, :].set(win.reshape(K, r1 - r0, 128))
 
-        # ---- type-combo convolutions, chunked along the slowest axis
-        for blo0, bext0, reps in conv_boxes:
-            ker = kers[reps]
-            nchQ = ker.shape[dim]
-            for (zs, zext) in _zsplits(bext0):
-                blo = list(blo0)
-                bext = list(bext0)
-                blo[dim - 1] = blo0[dim - 1] + zs
-                bext[dim - 1] = zext
-                X = None
-                if all_const:
-                    # constant coefficients: W is a broadcast (weights
-                    # ride in the kernel) — no per-point tensor at all
-                    chv = coef(jnp.zeros((1, dim), dt), run_ctx)
-                    cvec = jnp.stack(
-                        [jnp.asarray(chv[c], dt).reshape(()) for c in chlist]
-                    )
-                    W = jnp.broadcast_to(
-                        jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
-                    )
-                else:
-                    X = _fine_X(space, axis_xf, blo, bext)
-                    ch = coef(X, run_ctx)
-                    F = jnp.stack(
-                        [
-                            jnp.broadcast_to(
-                                jnp.asarray(ch[c], dt), X.shape[:-1]
-                            )
-                            for c in chlist
-                        ],
-                        axis=-1,
-                    )  # (f_rev..., nch)
-                    W = _space_to_depth(space, F, bext)
-                out = jax.lax.conv_general_dilated(
-                    W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
-                    preferred_element_type=dt,
-                )[0]
-                # nodes [blo, blo + bext + p) per axis
-                node_sl = tuple(
-                    slice(blo[dim - 1 - g],
-                          blo[dim - 1 - g] + bext[dim - 1 - g]
-                          + p[dim - 1 - g])
-                    for g in range(dim)
-                )
-                Pg = Pg.at[(slice(None),) + node_sl].add(
-                    jnp.moveaxis(out, dim, 0)
-                )
-                if forcing is not None:
-                    if X is None:
-                        X = _fine_X(space, axis_xf, blo, bext)
-                    # the forcing kernel carries the weights too
-                    Ff = jnp.broadcast_to(
-                        jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
-                    )[..., None]
-                    Wf = _space_to_depth(space, Ff, bext)
-                    outf = jax.lax.conv_general_dilated(
-                        Wf[None], kerfs[reps], (1,) * dim, pad,
-                        dimension_numbers=dn, preferred_element_type=dt,
-                    )[0]
-                    bg = bg.at[node_sl + (slice(None),)].add(outf)
-
-        # ---- small boxes (edges/corners) via the generic path
-        for (blo, bext), ids in zip(gen_boxes, gen_ids):
-            valid = jnp.ones((ids.shape[0],), bool)
-            Ke, Fe, _ = element_KF(ids, valid, None, form)
-            Ke = Ke.reshape(ids.shape[0], space.nen, space.nen)
-            Pg, bg = _accumulate_box_grid(
-                space, Pg, Ke, Fe, bg, blo, bext
+    def conv_chunk(Pg, bg, run_ctx, axis_xf, blo, bext, reps):
+        """One conv box chunk accumulated into (Pg, bg)."""
+        ker = kers[reps]
+        nchQ = ker.shape[dim]
+        X = None
+        if all_const:
+            # constant coefficients: W is a broadcast (weights ride in
+            # the kernel) — no per-point tensor at all
+            chv = coef(jnp.zeros((1, dim), dt), run_ctx)
+            cvec = jnp.stack(
+                [jnp.asarray(chv[c], dt).reshape(()) for c in chlist]
             )
+            W = jnp.broadcast_to(
+                jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
+            )
+        else:
+            X = _fine_X(space, axis_xf, blo, bext)
+            ch = coef(X, run_ctx)
+            F = jnp.stack(
+                [
+                    jnp.broadcast_to(jnp.asarray(ch[c], dt), X.shape[:-1])
+                    for c in chlist
+                ],
+                axis=-1,
+            )  # (f_rev..., nch)
+            W = _space_to_depth(space, F, bext)
+        out = jax.lax.conv_general_dilated(
+            W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
+            preferred_element_type=dt,
+        )[0]
+        # nodes [blo, blo + bext + p) per axis
+        node_sl = tuple(
+            slice(blo[dim - 1 - g],
+                  blo[dim - 1 - g] + bext[dim - 1 - g] + p[dim - 1 - g])
+            for g in range(dim)
+        )
+        Pg = add_planes(Pg, jnp.moveaxis(out, dim, 0), node_sl)
+        if forcing is not None:
+            if X is None:
+                X = _fine_X(space, axis_xf, blo, bext)
+            # the forcing kernel carries the weights too
+            Ff = jnp.broadcast_to(
+                jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
+            )[..., None]
+            Wf = _space_to_depth(space, Ff, bext)
+            outf = jax.lax.conv_general_dilated(
+                Wf[None], kerfs[reps], (1,) * dim, pad,
+                dimension_numbers=dn, preferred_element_type=dt,
+            )[0]
+            bg = bg.at[node_sl + (slice(None),)].add(outf)
         return Pg, bg
 
-    # One cached executable per (space, coef structure): ctx flows as a
-    # jit ARGUMENT so repeated assemblies with new coefficient values
-    # reuse the same program (no recompiles — the bench methodology).
-    cache_key = (
-        "convform", coef, forcing, tuple(chlist), chunk_z, shell_chunk,
-        conv_min, dt,
-    )
-    fn = space._device_cache.get(cache_key)
-    if fn is None:
-        fn = jax.jit(run)
-        space._device_cache[cache_key] = fn
+    def gen_box(Pg, bg, run_ctx, ids, blo, bext):
+        """One small (edge/corner) box through the generic path."""
+        element_KF = _make_element_KF(space, run_ctx, 1, False)
+        valid = jnp.ones((ids.shape[0],), bool)
+        Ke, Fe, _ = element_KF(ids, valid, None, form)
+        Ke = Ke.reshape(ids.shape[0], space.nen, space.nen)
+        contrib, Gv = _box_contrib(space, Ke, Fe, bext)
+        node_sl = _box_node_slices(space, blo, bext)
+        Pg = add_planes(Pg, contrib, node_sl)
+        bg = bg.at[node_sl + (slice(None),)].add(Gv)
+        return Pg, bg
+
+    conv_tasks = []
+    for blo0, bext0, reps in conv_boxes:
+        for (zs, zext) in _zsplits(bext0):
+            blo = list(blo0)
+            bext = list(bext0)
+            blo[dim - 1] = blo0[dim - 1] + zs
+            bext[dim - 1] = zext
+            conv_tasks.append((tuple(blo), tuple(bext), reps))
+
+    def zeros_Pb():
+        if row_aligned:
+            Pg = jnp.zeros((K, int(np.prod(Ne)) // 128, 128), dt)
+        else:
+            Pg = jnp.zeros((K,) + tuple(Ne[::-1]), dt)
+        bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
+        return Pg, bg
+
     gen_ids = tuple(_box_ids(eshape, blo, bext) for blo, bext in gen_boxes)
-    Pg, bg = fn(ctx, axis_xf, gen_ids)
+
+    ckey = (
+        "convform", coef, forcing, tuple(chlist), chunk_z, shell_chunk,
+        conv_min, row_aligned, dt,
+    )
+    if donate_loop:
+        # At multi-GB plane sizes XLA double-buffers the accumulator
+        # inside a single program (observed 17.6 GB = 2 planes at 256³);
+        # an eager loop over DONATED jitted steps guarantees single-copy
+        # accumulation at one dispatch per chunk.
+        def step_fn(kind, static):
+            key = ckey + (kind, static)
+            fn = space._device_cache.get(key)
+            if fn is None:
+                if kind == "conv":
+                    blo, bext, reps = static
+                    fn = jax.jit(
+                        lambda Pg, bg, c_, xf_: conv_chunk(
+                            Pg, bg, c_, xf_, blo, bext, reps
+                        ),
+                        donate_argnums=(0, 1),
+                    )
+                else:
+                    blo, bext = static
+                    fn = jax.jit(
+                        lambda Pg, bg, c_, ids_: gen_box(
+                            Pg, bg, c_, ids_, blo, bext
+                        ),
+                        donate_argnums=(0, 1),
+                    )
+                space._device_cache[key] = fn
+            return fn
+
+        Pg, bg = zeros_Pb()
+        for blo, bext, reps in conv_tasks:
+            Pg, bg = step_fn("conv", (blo, bext, reps))(
+                Pg, bg, ctx, axis_xf
+            )
+        for (blo, bext), ids in zip(gen_boxes, gen_ids):
+            Pg, bg = step_fn("gen", (blo, bext))(Pg, bg, ctx, ids)
+    else:
+        # One cached executable per (space, coef structure): ctx flows
+        # as a jit ARGUMENT so repeated assemblies with new coefficient
+        # values reuse the same program (no recompiles).
+        def run(run_ctx, axis_xf, gids):
+            Pg, bg = zeros_Pb()
+            for blo, bext, reps in conv_tasks:
+                Pg, bg = conv_chunk(Pg, bg, run_ctx, axis_xf, blo, bext,
+                                    reps)
+            for (blo, bext), ids in zip(gen_boxes, gids):
+                Pg, bg = gen_box(Pg, bg, run_ctx, ids, blo, bext)
+            return Pg, bg
+
+        fn = space._device_cache.get(ckey)
+        if fn is None:
+            fn = jax.jit(run)
+            space._device_cache[ckey] = fn
+        Pg, bg = fn(ctx, axis_xf, gen_ids)
     M = int(np.prod(Ne)) // LANES
     op = PallasStencilOperator.from_planes(
         st, Pg.reshape(K, M, LANES), align, interpret=interpret

@@ -55,7 +55,7 @@ def main(NEL=128):
     def asm(kval):
         return assemble_coefficient_planes(
             sp, poisson_coefficients, {"c": 0.0, "k": kval},
-            forcing=forcing,
+            forcing=forcing, donate_loop=(NEL > 128),
         )
 
     barrier()

@@ -127,3 +127,51 @@ def test_conv_interior_chunking():
     np.testing.assert_allclose(
         np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
     )
+
+
+def test_conv_row_aligned_mode():
+    """Row-aligned plane layout (the >2 GB mode where the planes stay
+    (K, M, 128) through assembly) matches the grid-shaped mode."""
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    ctx = {"c": 0.4, "k": 1.3}
+    form = coefficient_pointwise_form(poisson_coefficients)
+    A, b = assemble_system_planes(sp, form, ctx, interpret=True)
+    B, c = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, interpret=True,
+        conv_min=8, row_aligned=True, chunk_z=2,
+        forcing=lambda x, ctx: x[..., 0] + 0.5,
+    )
+    B2, c2 = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, interpret=True,
+        conv_min=8, row_aligned=False, chunk_z=2,
+        forcing=lambda x, ctx: x[..., 0] + 0.5,
+    )
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c2), atol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(B2.matvec(x)), atol=1e-13
+    )
+
+
+def test_conv_donate_loop():
+    """Donated per-chunk eager loop (the >HBM/2 mode) matches the
+    single-program path."""
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    ctx = {"c": 0.4, "k": 1.3}
+    A, b = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, interpret=True, conv_min=8,
+        chunk_z=2, forcing=lambda x, ctx: x[..., 1] + 0.5,
+    )
+    B, c = assemble_coefficient_planes(
+        sp, poisson_coefficients, ctx, interpret=True, conv_min=8,
+        chunk_z=2, forcing=lambda x, ctx: x[..., 1] + 0.5,
+        donate_loop=True, row_aligned=True,
+    )
+    x = jnp.asarray(np.random.default_rng(4).normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-13
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-13)
