@@ -62,7 +62,8 @@ def main(argv=None):
 
     ctx = {"lambda": ns.lam, "mu": ns.mu}
     A, b = assemble_system(space, el.body_force_system(exact), ctx)
-    res = cg(A, b, M=block_jacobi_preconditioner(A), rtol=1e-10)
+    res = cg(A.fast_operator(), b, M=block_jacobi_preconditioner(A),
+             rtol=1e-10)
     err = float(compute_error_norm(space, res.x, exact, k=0))
     print(f"iters={int(res.iters)} residual={float(res.residual):.3e} "
           f"L2={err:.6e}")

@@ -208,9 +208,12 @@ def mg_preconditioner(
     for A in hier.operators:
         d = A.scalar_diagonal()
         diags.append(jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0))
+    # smoother/residual matvecs ride the Pallas kernel on TPU (the fine
+    # level dominates the V-cycle cost)
+    fastops = [A.fast_operator() for A in hier.operators]
 
     def smooth(lvl, x, b):
-        A = hier.operators[lvl]
+        A = fastops[lvl]
         dinv = diags[lvl]
         for _ in range(nsmooth):
             r = b - A.matvec(x)
@@ -221,12 +224,12 @@ def mg_preconditioner(
         if lvl == 0:
             A = hier.operators[0]
             res = cg(
-                A, b, M=jacobi_preconditioner(A), rtol=1e-10,
+                fastops[0], b, M=jacobi_preconditioner(A), rtol=1e-10,
                 maxiter=coarse_iters,
             )
             return res.x
         x = smooth(lvl, jnp.zeros_like(b), b)
-        r = b - hier.operators[lvl].matvec(x)
+        r = b - fastops[lvl].matvec(x)
         rc = hier.restrict(lvl - 1, r)
         xc = vcycle(lvl - 1, rc)
         x = x + hier.prolong(lvl - 1, xc)

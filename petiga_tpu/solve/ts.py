@@ -238,6 +238,7 @@ class ExplicitStepper:
         # and du/dt = v - u there (→ 0 once the BC is satisfied)
         M, _ = assemble_system(sp, mass, apply_fix=True)
         Mprec = jacobi_preconditioner(M)
+        Mop = M.fast_operator()  # Pallas kernel on TPU, XLA elsewhere
         rhsfn = rhsfunction
         ctx_ = ctx
 
@@ -248,7 +249,7 @@ class ExplicitStepper:
                 return rhsfn(pt, t, Ue, c)
 
             R = assemble_function(sp, form, U, ctx_)
-            return cg(M, R, M=Mprec, rtol=mass_rtol).x
+            return cg(Mop, R, M=Mprec, rtol=mass_rtol).x
 
         @jax.jit
         def step_fn(U, t, dt):
