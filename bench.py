@@ -61,7 +61,7 @@ def scalar_nnz(sp):
     return nnz
 
 
-def bench_mesh(NEL, chunk, solve_rtol, matfree=False):
+def bench_mesh(NEL, chunk, solve_rtol, matfree=False, refine=False):
     """Assembly + packed-CG numbers for one mesh size."""
     from petiga_tpu.models.poisson import (
         exact_solution,
@@ -74,43 +74,49 @@ def bench_mesh(NEL, chunk, solve_rtol, matfree=False):
     )
     from petiga_tpu.solve.krylov import cg
 
+    from petiga_tpu.assembly.convform import (
+        assemble_coefficient_planes,
+        poisson_coefficients,
+    )
+
     sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
     nnz = scalar_nnz(sp)
     out = {"nnz": nnz}
 
-    def asm(kval):
-        return assemble_system_planes(
-            sp, poisson_system_q, {"c": 0.0, "k": kval},
-            chunk=chunk, order=1,
-            # at 256³ the scan cannot alias the 8.9 GB plane carry in
-            # place on a 16 GB chip — use the donated per-chunk loop
-            donate_loop=(NEL > 128),
+    # ---- conv (coefficient-form) assembly: the round-4 generic engine;
+    # its operator (identical to the pointwise path to f32 round-off)
+    # drives the solve below
+    def forcing_c(x, c):
+        return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * x), axis=-1)
+
+    def asm_conv(kval):
+        return assemble_coefficient_planes(
+            sp, poisson_coefficients, {"c": 0.0, "k": kval},
+            forcing=forcing_c, donate_loop=(NEL > 128),
         )
 
     barrier()
     t0 = time.time()
-    op, b = asm(jnp.float32(1.0))
+    op, b = asm_conv(jnp.float32(1.0))
     barrier()
-    out["compile_s"] = round(time.time() - t0, 1)
+    out["conv_compile_s"] = round(time.time() - t0, 1)
     reps = 3 if NEL <= 128 else 1
     t0 = time.time()
     for i in range(reps):
         # free the previous operator FIRST: two resident plane arrays
         # would exceed HBM at 256³
         del op, b
-        op, b = asm(jnp.float32(1.0 + 1e-6 * i))
+        op, b = asm_conv(jnp.float32(1.0 + 1e-6 * i))
     barrier()
-    t_asm = (time.time() - t0) / reps
-    out["assembly_s"] = round(t_asm, 4)
-    out["assembly_Mnnz_s"] = round(nnz / t_asm / 1e6, 1)
-    # absolute metrics (model-free): element-matrix FLOPs/s of the
-    # q-batched contraction, and the operator-write stream fraction
+    t_conv = (time.time() - t0) / reps
+    out["assembly_s"] = round(t_conv, 4)
+    out["assembly_Mnnz_s"] = round(nnz / t_conv / 1e6, 1)
     Q = nen = (2 + 1) ** 3
     eflops = 2 * sp.nel * Q * nen * nen * 3
-    out["assembly_elem_gflops"] = round(eflops / t_asm / 1e9, 1)
+    out["assembly_elem_gflops"] = round(eflops / t_conv / 1e9, 1)
     st0 = op.stencil
     out["assembly_store_stream_frac"] = round(
-        (st0.nnodes * st0.K * 4 / 819e9) / t_asm, 4
+        (st0.nnodes * st0.K * 4 / 819e9) / t_conv, 4
     )
     out["pallas_kind"] = op.kind
 
@@ -206,6 +212,63 @@ def bench_mesh(NEL, chunk, solve_rtol, matfree=False):
     err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
     out["l2_error"] = err
 
+    if refine:
+        # mixed-precision iterative refinement: f32 packed inner CG +
+        # f64 sum-factorized matrix-free residual -> f64-grade solution
+        # (the reference is double-precision end to end)
+        from petiga_tpu.solve.refine import (
+            assemble_rhs_f64,
+            clone_f64,
+            refined_solve,
+        )
+        from petiga_tpu.sparse.matfree import MatFreeOperator as MF64
+
+        barrier()
+        t0 = time.time()
+        sp64 = clone_f64(sp)
+        A64 = MF64(sp64, c=0.0, kappa=1.0, zchunk=16)
+
+        def f64forcing(xx):
+            return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
+
+        b64 = assemble_rhs_f64(sp64, A64, f64forcing, chunk=chunk)
+        x64, rinfo = refined_solve(
+            sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
+            rtol=1e-11, rtol_inner=1e-6, zchunk=16,
+        )
+        barrier()
+        out["refine_total_s"] = round(time.time() - t0, 2)
+        out["refine_passes"] = len(rinfo["inner_iters"])
+        out["refine_inner_iters"] = rinfo["inner_iters"]
+        out["refine_rel_residual"] = rinfo["relative_residual"]
+        err64 = float(
+            compute_error_norm(sp64, x64, exact_solution, k=0, chunk=chunk)
+        )
+        out["refined_l2_error"] = err64
+        del x64, b64, A64
+
+    # ---- pointwise q-batched generic assembly (the r03 path, timed for
+    # comparison; at 256³ the conv operator must be freed first)
+    def asm_pw(kval):
+        return assemble_system_planes(
+            sp, poisson_system_q, {"c": 0.0, "k": kval},
+            chunk=chunk, order=1, donate_loop=(NEL > 128),
+        )
+
+    if NEL > 128:
+        del op, DT
+    op_p, b_p = asm_pw(jnp.float32(1.0))
+    barrier()
+    t0 = time.time()
+    for i in range(reps):
+        del op_p, b_p
+        op_p, b_p = asm_pw(jnp.float32(1.0 + 1e-6 * i))
+    barrier()
+    t_pw = (time.time() - t0) / reps
+    out["assembly_pointwise_s"] = round(t_pw, 4)
+    out["assembly_pointwise_Mnnz_s"] = round(nnz / t_pw / 1e6, 1)
+    del op_p, b_p
+
     if matfree:
         from petiga_tpu.sparse.matfree import MatFreeOperator
 
@@ -240,7 +303,7 @@ def main():
     out256 = {}
     try:
         _, out256 = bench_mesh(
-            256, chunk=65536, solve_rtol=1e-8, matfree=True
+            256, chunk=65536, solve_rtol=1e-8, matfree=True, refine=True
         )
     except Exception as e:  # record the failure, keep the 128³ line
         out256 = {"error": f"{type(e).__name__}: {e}"[:300]}
@@ -255,6 +318,7 @@ def main():
         "vs_baseline": round(rate / baseline, 2),
         "baseline_model": "5e7 nnz/s modeled single-core MatSetValues (BASELINE.md)",
         "mesh": "128^3 p2 (+ 256^3 end-to-end extras)",
+        "engine": "conv (coefficient-form) assembly; pointwise q-batched path in assembly_pointwise_*",
         "timing": "in-order-queue barrier, device-scalar ctx (no recompiles), no fetch inside timed regions",
         "m128": out128,
         "m256": out256,

@@ -86,22 +86,46 @@ def coefficient_pointwise_form(coef: Callable, forcing: Optional[Callable] = Non
     def form(pt, w, ctx):
         X = pt.x  # (Q, nsd)
         dt = pt.shape0.dtype
+        nen = pt.shape0.shape[-1]
         ch = coef(X, ctx)
         D = [pt.shape0] + [
             pt.shape1[..., d] for d in range(pt.shape1.shape[-1])
         ]
-        K = None
-        for (i, j), c in ch.items():
-            wc = w * jnp.broadcast_to(jnp.asarray(c, dt), w.shape)
-            term = jnp.einsum("q,qa,qb->ab", wc, D[i], D[j])
-            K = term if K is None else K + term
-        if forcing is None:
-            F = jnp.zeros(pt.shape0.shape[-1], dt)
+        dof = 1
+        for c in ch.values():
+            if np.ndim(c) >= 2:
+                dof = int(np.shape(c)[-1])
+                break
+        if dof == 1:
+            K = None
+            for (i, j), c in ch.items():
+                wc = w * jnp.broadcast_to(jnp.asarray(c, dt), w.shape)
+                term = jnp.einsum("q,qa,qb->ab", wc, D[i], D[j])
+                K = term if K is None else K + term
         else:
-            f = jnp.broadcast_to(
-                jnp.asarray(forcing(X, ctx), dt), w.shape
-            )
-            F = jnp.einsum("q,qa->a", w * f, pt.shape0)
+            # (dof, dof) channel blocks: K[(a,r),(b,c)] layout
+            K = None
+            for (i, j), c in ch.items():
+                C = jnp.broadcast_to(
+                    jnp.asarray(c, dt), w.shape + (dof, dof)
+                )
+                term = jnp.einsum(
+                    "q,qrc,qa,qb->arbc", w, C, D[i], D[j]
+                )
+                K = term if K is None else K + term
+            K = K.reshape(nen * dof, nen * dof)
+        if forcing is None:
+            F = jnp.zeros(nen * dof, dt)
+        else:
+            f = jnp.asarray(forcing(X, ctx), dt)
+            if dof == 1:
+                f = jnp.broadcast_to(f, w.shape)
+                F = jnp.einsum("q,qa->a", w * f, pt.shape0)
+            else:
+                f = jnp.broadcast_to(f, w.shape + (dof,))
+                F = jnp.einsum(
+                    "q,qr,qa->ar", w, f, pt.shape0
+                ).reshape(nen * dof)
         return K, F
 
     form.qbatched = True
@@ -292,17 +316,19 @@ def _box_node_slices(space, lo, ext):
 
 
 def _box_contrib(space, Ke, Fe, ext):
-    """Box-local accumulation of element blocks (dof = 1): returns the
-    (K, node_ext_rev...) plane contribution and the (node_ext_rev..., 1)
-    load contribution.  The shift adds run on the box-LOCAL grid
-    (``fastpath.accumulate_box``) and land in the global planes as ONE
-    slab add per box — per-``a`` adds directly on the multi-GB planes
-    array made XLA copy it each time (observed 0.26 s of pure
-    accumulation at 128³)."""
-    Gm, Gv = fastpath.accumulate_box(
-        space, tuple(ext), Ke[..., None, None], Fe, 0
-    )
-    return jnp.moveaxis(Gm[..., 0, 0], -1, 0), Gv
+    """Box-local accumulation of element blocks: returns the
+    (K, dof², node_ext_rev...) plane contribution and the
+    (node_ext_rev..., dof) load contribution.  The shift adds run on the
+    box-LOCAL grid (``fastpath.accumulate_box``) and land in the global
+    planes as ONE slab add per box — per-``a`` adds directly on the
+    multi-GB planes array made XLA copy it each time (observed 0.26 s of
+    pure accumulation at 128³)."""
+    dim = space.dim
+    dof = space.dof
+    Gm, Gv = fastpath.accumulate_box(space, tuple(ext), Ke, Fe, 0)
+    # Gm: (node_ext_rev..., K, dof, dof) -> (K, dof·dof, node_ext_rev...)
+    Gm = jnp.moveaxis(Gm, (dim, dim + 1, dim + 2), (0, 1, 2))
+    return Gm.reshape((Gm.shape[0], dof * dof) + Gm.shape[3:]), Gv
 
 
 def _axis_options(space):
@@ -416,62 +442,119 @@ def assemble_coefficient_planes(
         raise ValueError("conv assembly requires open axes")
     if not fastpath.is_unit_step(space):
         raise ValueError("conv assembly requires a regular unit-step space")
-    if space.dof != 1:
-        raise ValueError("conv assembly currently supports dof=1")
     if space.has_geometry or space.rational is not None:
         raise ValueError("conv assembly requires the identity map")
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
     dim = space.dim
+    dof = space.dof
     dt = space.dtype
     p = space.degrees
     eshape = space.elem_shape
     N = space.node_shape
-    # row-aligned mode (3-D): the plane array lives in the kernel's
-    # (K, M, 128) layout throughout — mandatory once the planes are a
-    # significant fraction of HBM (grid-shaped materialization lane-pads
-    # the minor spatial dim 1.5x and copies; OOM at 256³).  Conv-chunk
-    # results land through grid-shaped VIEWS of static z-row windows.
-    est = st.K * st.nnodes * jnp.dtype(dt).itemsize
+    # row-aligned mode (3-D, dof=1): the plane array lives in the
+    # kernel's (K, M, 128) layout throughout — mandatory once the planes
+    # are a significant fraction of HBM (grid-shaped materialization
+    # lane-pads the minor spatial dim 1.5x and copies; OOM at 256³).
+    # Conv-chunk results land through grid-shaped VIEWS of static z-row
+    # windows.
+    est = st.K * dof * dof * st.nnodes * jnp.dtype(dt).itemsize
     if row_aligned is None:
         row_aligned = dim == 3 and est > 2 * 2**30
-    row_aligned = bool(row_aligned) and dim == 3
+    row_aligned = bool(row_aligned) and dim == 3 and dof == 1
     align = alignment_pads(st, row_aligned=row_aligned)
     Ne = tuple(n + a for n, a in zip(N, align))
     K = st.K
     rpz = int(np.prod(Ne[:-1])) // 128 if dim == 3 else None
 
     # channel list: probe the spec once at a representative point.  A
-    # channel returning shape () cannot depend on x -> spatially
-    # constant; constant-only specs skip the per-point W materialization
-    # entirely (W is a broadcast of the (nch,) coefficient vector).
+    # channel returning shape () (or a constant (dof, dof) block) cannot
+    # depend on x -> spatially constant; constant-only specs skip the
+    # per-point W materialization entirely.  For dof > 1, exactly-zero
+    # probe entries of constant blocks prune that (r, c) pair's channel
+    # list (elasticity blocks are mostly zeros); the zero-pattern is
+    # part of the executable cache key.
     x0 = np.zeros((1, dim))
     probe = coef(jnp.asarray(x0, dt), ctx)
     chlist = sorted(probe.keys())
     for (i, j) in chlist:
         if not (0 <= i <= dim and 0 <= j <= dim):
             raise ValueError(f"channel {(i, j)} out of range (order-1 only)")
-    all_const = all(np.shape(probe[c]) == () for c in chlist)
+    const_shapes = ((), (dof, dof)) if dof > 1 else ((),)
+    is_const = {c: np.shape(probe[c]) in const_shapes for c in chlist}
+    all_const = all(is_const.values())
+
+    def _block_entry(val, r, c):
+        """(r, c) entry of a channel value (scalars pass through for
+        dof == 1)."""
+        if dof == 1:
+            return val
+        return jnp.asarray(val, dt)[..., r, c]
+
+    # per-(r, c) channel lists (zero-pruned from the concrete probe)
+    chmap = {}
+    for r in range(dof):
+        for c in range(dof):
+            if dof == 1:
+                chmap[(r, c)] = tuple(chlist)
+                continue
+            keep = []
+            for ch in chlist:
+                v = probe[ch]
+                if is_const[ch]:
+                    if float(np.asarray(v)[r, c]) != 0.0:
+                        keep.append(ch)
+                else:
+                    keep.append(ch)
+            chmap[(r, c)] = tuple(keep)
 
     # type-combo boxes: large ones (the interior block + whole boundary
     # faces) run as convolutions with their own constant kernels; small
     # ones (edges/corners — O(p²·nel) elements) take the generic
     # quadrature path with box-local shift accumulation.
+    if row_aligned:
+        # the accumulate window views (zext+p) whole z-layers of the
+        # flat planes; cap every box's z-extent so the view stays ~1 GB
+        zcap = max(
+            1,
+            (2**30) // max(rpz * 128 * K * jnp.dtype(dt).itemsize, 1)
+            - max(p),
+        )
+    else:
+        zcap = None
+
+    def _zsplit_gen(blo, bext):
+        if zcap is None or bext[dim - 1] <= zcap:
+            return [(blo, bext)]
+        out = []
+        s = 0
+        while s < bext[dim - 1]:
+            e = min(zcap, bext[dim - 1] - s)
+            nlo = list(blo)
+            nex = list(bext)
+            nlo[dim - 1] += s
+            nex[dim - 1] = e
+            out.append((tuple(nlo), tuple(nex)))
+            s += e
+        return out
+
     conv_boxes = []
     gen_boxes = []
     for blo, bext, reps in _combo_boxes(space):
         if int(np.prod(bext)) >= conv_min:
             conv_boxes.append((blo, bext, reps))
         else:
-            gen_boxes.extend(_split_box(blo, bext, shell_chunk))
+            for sb in _split_box(blo, bext, shell_chunk):
+                gen_boxes.extend(_zsplit_gen(*sb))
 
     kers = {}
     kerfs = {}
     for _, _, reps in conv_boxes:
-        if reps not in kers:
-            kers[reps] = _conv_kernel(space, chlist, dt, reps)
-            if forcing is not None:
-                kerfs[reps] = _forcing_kernel(space, dt, reps)
+        for rc, chl in chmap.items():
+            if chl and (reps, chl) not in kers:
+                kers[(reps, chl)] = _conv_kernel(space, list(chl), dt, reps)
+        if forcing is not None and reps not in kerfs:
+            kerfs[reps] = _forcing_kernel(space, dt, reps)
     dn = _dimension_numbers(dim)
     pad = [(p[d], p[d]) for d in range(dim)][::-1]
 
@@ -499,6 +582,16 @@ def assemble_coefficient_planes(
                 * K * jnp.dtype(dt).itemsize
             )
             cz = max(1, min(cz, (512 * 2**20) // max(out_layer, 1)))
+            if row_aligned:
+                # the accumulate window is a grid-shaped VIEW of
+                # (zext+p) WHOLE z-layers of the planes — tall thin
+                # boxes (x/y faces span all of z) would otherwise
+                # materialize a second multi-GB buffer
+                win_layer = rpz * 128 * K * jnp.dtype(dt).itemsize
+                cz = max(
+                    1,
+                    min(cz, (2**30) // max(win_layer, 1) - max(p)),
+                )
         out = []
         s = 0
         while s < ez:
@@ -516,12 +609,17 @@ def assemble_coefficient_planes(
         for d in range(dim)
     )
 
-    def add_planes(Pg, contrib, node_sl):
-        """Add (K, zw, wy, wx) into the planes at a static node region;
-        in row-aligned mode through a grid-shaped view of the whole-row
-        z-window."""
+    def add_planes(Pg, contrib, node_sl, rc=None):
+        """Add a contribution into the planes at a static node region.
+        ``rc``: field-pair index for a (K, zw, wy, wx) conv result;
+        ``None`` for a full (K, dof², zw, wy, wx) generic-box result.
+        Row-aligned mode (dof=1) goes through a grid-shaped view of the
+        whole-row z-window."""
         if not row_aligned:
-            return Pg.at[(slice(None),) + node_sl].add(contrib)
+            sel = (slice(None), slice(None) if rc is None else rc)
+            return Pg.at[sel + node_sl].add(contrib)
+        if rc is None:
+            contrib = contrib[:, 0]
         zsl = node_sl[0]
         r0, r1 = zsl.start * rpz, zsl.stop * rpz
         win = Pg[:, r0:r1, :].reshape(
@@ -531,55 +629,81 @@ def assemble_coefficient_planes(
         return Pg.at[:, r0:r1, :].set(win.reshape(K, r1 - r0, 128))
 
     def conv_chunk(Pg, bg, run_ctx, axis_xf, blo, bext, reps):
-        """One conv box chunk accumulated into (Pg, bg)."""
-        ker = kers[reps]
-        nchQ = ker.shape[dim]
-        X = None
-        if all_const:
-            # constant coefficients: W is a broadcast (weights ride in
-            # the kernel) — no per-point tensor at all
-            chv = coef(jnp.zeros((1, dim), dt), run_ctx)
-            cvec = jnp.stack(
-                [jnp.asarray(chv[c], dt).reshape(()) for c in chlist]
-            )
-            W = jnp.broadcast_to(
-                jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
-            )
-        else:
-            X = _fine_X(space, axis_xf, blo, bext)
-            ch = coef(X, run_ctx)
-            F = jnp.stack(
-                [
-                    jnp.broadcast_to(jnp.asarray(ch[c], dt), X.shape[:-1])
-                    for c in chlist
-                ],
-                axis=-1,
-            )  # (f_rev..., nch)
-            W = _space_to_depth(space, F, bext)
-        out = jax.lax.conv_general_dilated(
-            W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
-            preferred_element_type=dt,
-        )[0]
-        # nodes [blo, blo + bext + p) per axis
+        """One conv box chunk accumulated into (Pg, bg): one conv per
+        (r, c) field pair (pruned channel lists), sharing the fine-grid
+        evaluation."""
         node_sl = tuple(
             slice(blo[dim - 1 - g],
                   blo[dim - 1 - g] + bext[dim - 1 - g] + p[dim - 1 - g])
             for g in range(dim)
         )
-        Pg = add_planes(Pg, jnp.moveaxis(out, dim, 0), node_sl)
+        X = None
+        ch = None
+        if not all_const:
+            X = _fine_X(space, axis_xf, blo, bext)
+            ch = coef(X, run_ctx)
+        chv = coef(jnp.zeros((1, dim), dt), run_ctx) if (
+            not all(not is_const[c] for c in chlist)
+        ) else None
+        for r in range(dof):
+            for c in range(dof):
+                chl = chmap[(r, c)]
+                if not chl:
+                    continue
+                ker = kers[(reps, chl)]
+                nchQ = ker.shape[dim]
+                if all(is_const[cc] for cc in chl):
+                    cvec = jnp.stack(
+                        [
+                            _block_entry(chv[cc], r, c).reshape(())
+                            for cc in chl
+                        ]
+                    )
+                    W = jnp.broadcast_to(
+                        jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
+                    )
+                else:
+                    if X is None:
+                        X = _fine_X(space, axis_xf, blo, bext)
+                        ch = coef(X, run_ctx)
+                    F = jnp.stack(
+                        [
+                            jnp.broadcast_to(
+                                jnp.asarray(
+                                    _block_entry(
+                                        ch[cc] if not is_const[cc]
+                                        else chv[cc], r, c
+                                    ),
+                                    dt,
+                                ),
+                                X.shape[:-1],
+                            )
+                            for cc in chl
+                        ],
+                        axis=-1,
+                    )  # (f_rev..., nch)
+                    W = _space_to_depth(space, F, bext)
+                out = jax.lax.conv_general_dilated(
+                    W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
+                    preferred_element_type=dt,
+                )[0]
+                Pg = add_planes(
+                    Pg, jnp.moveaxis(out, dim, 0), node_sl,
+                    rc=r * dof + c,
+                )
         if forcing is not None:
             if X is None:
                 X = _fine_X(space, axis_xf, blo, bext)
-            # the forcing kernel carries the weights too
-            Ff = jnp.broadcast_to(
-                jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
-            )[..., None]
-            Wf = _space_to_depth(space, Ff, bext)
-            outf = jax.lax.conv_general_dilated(
-                Wf[None], kerfs[reps], (1,) * dim, pad,
-                dimension_numbers=dn, preferred_element_type=dt,
-            )[0]
-            bg = bg.at[node_sl + (slice(None),)].add(outf)
+            f = jnp.asarray(forcing(X, run_ctx), dt)
+            for r in range(dof):
+                fr = f if dof == 1 else f[..., r]
+                Ff = jnp.broadcast_to(fr, X.shape[:-1])[..., None]
+                Wf = _space_to_depth(space, Ff, bext)
+                outf = jax.lax.conv_general_dilated(
+                    Wf[None], kerfs[reps], (1,) * dim, pad,
+                    dimension_numbers=dn, preferred_element_type=dt,
+                )[0]
+                bg = bg.at[node_sl + (slice(r, r + 1),)].add(outf)
         return Pg, bg
 
     def gen_box(Pg, bg, run_ctx, ids, blo, bext):
@@ -587,7 +711,6 @@ def assemble_coefficient_planes(
         element_KF = _make_element_KF(space, run_ctx, 1, False)
         valid = jnp.ones((ids.shape[0],), bool)
         Ke, Fe, _ = element_KF(ids, valid, None, form)
-        Ke = Ke.reshape(ids.shape[0], space.nen, space.nen)
         contrib, Gv = _box_contrib(space, Ke, Fe, bext)
         node_sl = _box_node_slices(space, blo, bext)
         Pg = add_planes(Pg, contrib, node_sl)
@@ -607,14 +730,15 @@ def assemble_coefficient_planes(
         if row_aligned:
             Pg = jnp.zeros((K, int(np.prod(Ne)) // 128, 128), dt)
         else:
-            Pg = jnp.zeros((K,) + tuple(Ne[::-1]), dt)
-        bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
+            Pg = jnp.zeros((K, dof * dof) + tuple(Ne[::-1]), dt)
+        bg = jnp.zeros(tuple(N[::-1]) + (dof,), dt)
         return Pg, bg
 
     gen_ids = tuple(_box_ids(eshape, blo, bext) for blo, bext in gen_boxes)
 
     ckey = (
-        "convform", coef, forcing, tuple(chlist), chunk_z, shell_chunk,
+        "convform", coef, forcing, tuple(chlist),
+        tuple(sorted(chmap.items())), chunk_z, shell_chunk,
         conv_min, row_aligned, dt,
     )
     if donate_loop:
@@ -672,9 +796,9 @@ def assemble_coefficient_planes(
         Pg, bg = fn(ctx, axis_xf, gen_ids)
     M = int(np.prod(Ne)) // LANES
     op = PallasStencilOperator.from_planes(
-        st, Pg.reshape(K, M, LANES), align, interpret=interpret
+        st, Pg.reshape(K * dof * dof, M, LANES), align, interpret=interpret
     )
-    b = bg.reshape(st.nnodes, 1)
+    b = bg.reshape(st.nnodes, dof)
     if apply_fix:
         op, b = dirichlet_post_fix(space, op, b)
     flux = boundary_flux_vector(space)

@@ -105,6 +105,7 @@ class DistSpace:
         # path (~0.5% of roofline on hardware, BENCH_r02).
         if use_pallas is None:
             use_pallas = jax.default_backend() in ("tpu", "axon")
+        self._device_jit_cache: dict = {}
         self._pk = None
         if use_pallas:
             from ..sparse.stencil import Stencil
@@ -1323,15 +1324,25 @@ class DistSpace:
         r = b_loc - Av(x)
         return x, k * restart, jnp.sqrt(dot(r, r))
 
-    def _krylov(self, body, data, b):
-        shard = jax.shard_map(
-            body,
-            mesh=self.mesh,
-            in_specs=(self.grid_spec(3), self.grid_spec(1)),
-            out_specs=(self.grid_spec(1), P(), P()),
-            check_vma=False,
-        )
-        return shard(data, b)
+    def _krylov(self, body, data, b, cache_key=None):
+        """shard_map a local Krylov body; with ``cache_key``, the
+        jitted program is cached on the DistSpace so repeated solves
+        with the same parameters reuse ONE executable (a fresh closure
+        per call misses the jit cache and re-traces every solve)."""
+        fn = None
+        if cache_key is not None:
+            fn = self._device_jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(self.grid_spec(3), self.grid_spec(1)),
+                out_specs=(self.grid_spec(1), P(), P()),
+                check_vma=False,
+            ))
+            if cache_key is not None:
+                self._device_jit_cache[cache_key] = fn
+        return fn(data, b)
 
     def cg(self, data, b, *, rtol=1e-8, atol=0.0, maxiter=10000,
            jacobi=True, pc=None):
@@ -1346,6 +1357,7 @@ class DistSpace:
                 d, v, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc
             ),
             data, b,
+            cache_key=("cg", rtol, atol, maxiter, pc),
         )
 
     def bicgstab(self, data, b, *, rtol=1e-8, atol=0.0, maxiter=10000,
@@ -1358,6 +1370,7 @@ class DistSpace:
                 d, v, rtol=rtol, atol=atol, maxiter=maxiter, pc=pc
             ),
             data, b,
+            cache_key=("bicgstab", rtol, atol, maxiter, pc),
         )
 
     def gmres(self, data, b, *, rtol=1e-8, atol=0.0, restart=30,
@@ -1371,6 +1384,7 @@ class DistSpace:
                 maxiter=maxiter, pc=pc
             ),
             data, b,
+            cache_key=("gmres", rtol, atol, restart, maxiter, pc),
         )
 
     # ------------------------------------------------------------ functionals

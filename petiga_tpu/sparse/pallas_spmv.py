@@ -162,7 +162,7 @@ def alignment_pads(stencil, lanes: int = LANES, row_aligned: bool = False):
     return tuple(best[1])
 
 
-def _plan(stencil, itemsize: int = 4, align=None, pads=None):
+def _plan(stencil, itemsize: int = 4, align=None, pads=None, planes=None):
     """VMEM plan: (kind, rows, guard, M, next).
 
     kind "vmem": x + guards VMEM-resident alongside the double-buffered
@@ -170,7 +170,8 @@ def _plan(stencil, itemsize: int = 4, align=None, pads=None):
     grid step DMAs its (rows + 2·guard)-row window into scratch.
     Returns None when nothing fits (very large K·dof²)."""
     K, dof = stencil.K, stencil.dof
-    planes = K * dof * dof
+    if planes is None:
+        planes = K * dof * dof
     Ne = _ext_shape(stencil, align, pads)
     next_ = int(np.prod(Ne))
     M = math.ceil(next_ / LANES)
@@ -222,7 +223,6 @@ def _accumulate(window, shifts, dof, dtype, rows, dt_ref):
         [jnp.zeros((rows, LANES), dtype) for _ in range(NACC)]
         for _ in range(dof)
     ]
-    masks = {}
     byq: dict = {}
     for s, c in enumerate(shifts):
         q, m = divmod(int(c), LANES)  # floor div: m in [0, 128)
@@ -238,14 +238,16 @@ def _accumulate(window, shifts, dof, dtype, rows, dt_ref):
                 if m == 0:
                     xs = A
                 else:
-                    if m not in masks:
-                        masks[m] = lane < LANES - m
+                    # mask recomputed per slot: a cache keyed on m keeps
+                    # up to ~K live (rows, 128) vectors and blows the
+                    # Mosaic scoped-vmem stack at rows=512 (observed
+                    # 116.8 MB); the compare is cheap VPU work.
                     # i32 cast: a bare Python int lowers to i64 under
                     # x64 and tpu.dynamic_rotate requires an i32 shift
                     sh = jnp.int32(LANES - m)
                     ra = pltpu.roll(A, sh, 1)
                     rb = pltpu.roll(B, sh, 1)
-                    xs = jnp.where(masks[m], ra, rb)
+                    xs = jnp.where(lane < LANES - m, ra, rb)
                 for a in range(dof):
                     j = s % NACC
                     acc[a][j] = (
@@ -363,7 +365,7 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         # x window-read amplification (rows+2G)/rows), so raise the cap
         # toward the 128 MB physical VMEM of a v5e core.
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20
+            vmem_limit_bytes=124 * 2**20
         )
     return pl.pallas_call(
         kernel,
@@ -387,6 +389,121 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         interpret=interpret,
         **kwargs,
     )(xb, DT)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("shifts", "guard", "rows", "interpret"),
+)
+def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
+    """Symmetric (mirrored-slot) variant, dof = 1: ``DTu`` holds only
+    the ``Ku = (K+1)//2`` upper slots (diagonal onward, flat shifts
+    ``c >= 0``); each stored plane is applied at ``+c`` (direct read)
+    AND transposed at ``-c`` (mirror) in ONE streaming pass — half the
+    full-storage HBM traffic, matching the reference's SBAIJ MatMult
+    (petigamat.c:400-405, 493-495).
+
+    Mirror terms ``y[m + c] += D_c[m]·x[m]`` are forward scatters; they
+    accumulate in a VMEM ring of ``rows + G`` rows that slides with the
+    grid: block ``j``'s slot-``c`` contribution lands at STATIC ring
+    offset ``c`` (the ring base advances by ``rows`` per step), so no
+    dynamic indexing is needed.  x is HBM-windowed like
+    :func:`_flat_spmv_hbm`.
+    """
+    M = DTu.shape[1]
+    G = guard
+    ROWS = rows
+    WIN = ROWS + 2 * G
+    nchunks = -(-M // ROWS)
+    dtype = xb.dtype
+    Ku = len(shifts)
+    seg = G + nchunks * ROWS + G
+    assert shifts[0] == 0 and all(c >= 0 for c in shifts)
+    qmax = max(c // LANES for c in shifts)
+    RING = ROWS + qmax + 2
+
+    def kernel(x_hbm, dt_ref, y_ref, xwin, ring, sems):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
+
+        def dma(slot_, chunk):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(chunk * ROWS, WIN), :],
+                xwin.at[pl.ds(slot_ * WIN, WIN), :],
+                sems.at[slot_],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            ring[:, :] = jnp.zeros((RING, LANES), dtype)
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nchunks)
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        dma(slot, i).wait()
+
+        def window(b, q):
+            return xwin[pl.ds(slot * WIN + G + q, ROWS), :]
+
+        # direct terms (existing q-grouped accumulation)
+        tot = _accumulate(window, shifts, 1, dtype, ROWS, dt_ref)[0]
+
+        # mirror terms: u = D_c ⊙ x (aligned block), forward-shifted by
+        # +c into the ring (static offsets; lane roll with row carry)
+        x0 = window(0, 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        for ku in range(1, Ku):
+            c = int(shifts[ku])
+            q, m = divmod(c, LANES)
+            u = dt_ref[ku] * x0
+            if m == 0:
+                ring[q:q + ROWS, :] = ring[q:q + ROWS, :] + u
+            else:
+                v = pltpu.roll(u, jnp.int32(m), 1)
+                ring[q:q + ROWS, :] = (
+                    ring[q:q + ROWS, :] + jnp.where(lane >= m, v, 0.0)
+                )
+                ring[q + 1:q + 1 + ROWS, :] = (
+                    ring[q + 1:q + 1 + ROWS, :]
+                    + jnp.where(lane < m, v, 0.0)
+                )
+
+        # emit: direct + matured ring rows, then slide the ring
+        y_ref[0, :, :] = tot + ring[0:ROWS, :]
+        tail = ring[ROWS:RING, :]
+        ring[0:RING - ROWS, :] = tail
+        ring[RING - ROWS:RING, :] = jnp.zeros((ROWS, LANES), dtype)
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 2**20
+        )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, M, LANES), dtype),
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
+            pl.BlockSpec(
+                (Ku, ROWS, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2 * WIN, LANES), dtype),
+            pltpu.VMEM((RING, LANES), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(xb, DTu)
 
 
 class PallasStencilOperator:
@@ -444,6 +561,42 @@ class PallasStencilOperator:
         ) if A is not None else None  # else supplied via from_planes
 
     @classmethod
+    def from_symmetric(cls, S, interpret=None):
+        """Pack a :class:`~petiga_tpu.sparse.stencil.SymmetricStencilMatrix`
+        for the mirrored-slot kernel (kind ``"sym"``): only the
+        ``Ku = (K+1)//2`` upper planes are stored AND streamed — the
+        solve-time operator memory and HBM traffic are both halved,
+        matching the reference's SBAIJ MatMult
+        (petigamat.c:400-405, 493-495).  dof = 1, open axes."""
+        st = S.stencil
+        if st.dof != 1:
+            raise ValueError("sym kernel currently supports dof=1")
+        if any(st.periodic):
+            raise ValueError("sym kernel requires open axes")
+        op = cls(None, interpret, stencil=st, dtype=S.data.dtype)
+        if not op.ok:
+            raise ValueError("Pallas layout unsupported for this stencil")
+        Ku = S.Ku
+        # re-plan with Ku planes (double headroom per row), forced hbm
+        plan = _plan(st, jnp.dtype(S.data.dtype).itemsize, pads=op.pads,
+                     planes=Ku)
+        kind, r, G, M, next_ = plan
+        op.rows = r
+        op.G = -(-G // 8) * 8
+        op.Mp = math.ceil(op.M / op.rows) * op.rows
+        op.kind = "sym"
+        shifts_all = _flat_shifts(st, pads=op.pads)
+        op.shifts_u = tuple(int(v) for v in shifts_all[st.diag_slot:])
+        if op.shifts_u[0] != 0 or any(c < 0 for c in op.shifts_u):
+            raise ValueError("upper-slot shifts must be non-negative")
+        N = st.node_shape
+        op.DT = op.pack_planes(
+            S.data.reshape(tuple(N[::-1]) + (Ku,)), planes=Ku
+        )
+        op.A = S  # diagonal/fallback surface
+        return op
+
+    @classmethod
     def from_planes(cls, stencil, DT, align, interpret=None):
         """Zero-copy construction from pre-packed slot-major planes
         (K·dof², M, 128) laid out on the alignment-padded grid
@@ -463,13 +616,14 @@ class PallasStencilOperator:
 
     # ------------------------------------------------------------- packing
 
-    def pack_planes(self, data_grid):
+    def pack_planes(self, data_grid, planes=None):
         """(N_rev..., K·dof²) grid-layout slot data -> (K·dof², M, 128)
         kernel planes (halo/pad rows zero).  Jittable — this is also the
         per-solve local pack the distributed solvers run inside
         shard_map (one pass over the local operator)."""
         st = self.st
-        planes = st.K * st.dof * st.dof
+        if planes is None:
+            planes = st.K * st.dof * st.dof
         if any(pp != (0, 0) for pp in self._gpads):
             data_grid = jnp.pad(data_grid, self._gpads + [(0, 0)])
         DT = data_grid.reshape(self.next, planes).T
@@ -563,6 +717,11 @@ class PallasStencilOperator:
     # --------------------------------------------------------------- apply
 
     def _kernel(self, DT, xb):
+        if self.kind == "sym":
+            return _flat_spmv_sym(
+                DT, xb, shifts=self.shifts_u, guard=self.G,
+                rows=self.rows, interpret=self.interpret,
+            )
         fn = _flat_spmv if self.kind == "vmem" else _flat_spmv_hbm
         return fn(
             DT,

@@ -492,6 +492,27 @@ class SymmetricStencilMatrix:
         return jnp.diagonal(self.data[:, 0], axis1=-2, axis2=-1)
 
     def fast_operator(self, interpret=None):
-        """Expand to full storage and re-pack for the Pallas kernel
-        (transient full-size copy; storage stays half)."""
+        """Pallas operator for the symmetric storage.
+
+        dof = 1 on open axes: the mirrored-slot kernel streams ONLY the
+        stored upper planes (direct read at +c, transposed ring-
+        accumulated scatter at -c) — solve-time memory AND HBM traffic
+        are both half the full-storage kernel's, like the reference's
+        SBAIJ MatMult (petigamat.c:493-495).  Other layouts fall back to
+        transient expansion (storage stays half at rest)."""
+        from .pallas_spmv import PallasStencilOperator, supported
+
+        s = self.stencil
+        if interpret is None and jax.default_backend() not in (
+            "tpu", "axon"
+        ):
+            return self
+        if (
+            s.dof == 1
+            and not any(s.periodic)
+            and supported(s, jnp.dtype(self.data.dtype).itemsize)
+        ):
+            return PallasStencilOperator.from_symmetric(
+                self, interpret=interpret
+            )
         return self.to_full().fast_operator(interpret)

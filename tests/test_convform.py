@@ -175,3 +175,67 @@ def test_conv_donate_loop():
         np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-13
     )
     np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-13)
+
+
+def test_conv_dof2_blocks():
+    """dof > 1: (dof, dof) channel blocks (constant + varying, with
+    zero-pattern pruning) match the generic path, including the load
+    vector with per-field forcing."""
+    sp = Space([Axis.uniform(p=2, nel=7) for _ in range(2)], dof=2,
+               dtype=F64)
+    for d in range(2):
+        for s in range(2):
+            sp.set_boundary_value(d, s, 0, 0.0)
+
+    def coef(x, ctx):
+        lam, mu = 1.2, 0.7
+        # elasticity-like constant blocks + a varying mass block
+        ch = {}
+        for i in range(1, 3):
+            for j in range(1, 3):
+                C = np.zeros((2, 2))
+                C[i - 1, j - 1] += lam
+                if i == j:
+                    C[0, 0] += mu
+                    C[1, 1] += mu
+                C[j - 1, i - 1] += mu
+                ch[(i, j)] = jnp.asarray(C)
+        m = 0.3 + x[..., 0] * 0.5
+        ch[(0, 0)] = m[..., None, None] * jnp.eye(2)
+        return ch
+
+    def forcing(x, ctx):
+        return jnp.stack(
+            [jnp.sin(jnp.pi * x[..., 0]), x[..., 1] + 0.2], axis=-1
+        )
+
+    form = coefficient_pointwise_form(coef, forcing)
+    A, b = assemble_system_planes(sp, form, interpret=True)
+    B, c = assemble_coefficient_planes(
+        sp, coef, forcing=forcing, interpret=True, conv_min=8
+    )
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(sp.nnodes, 2)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(c), np.asarray(b), atol=1e-12)
+
+
+def test_conv_dof3_poisson_vector():
+    """dof=3 with decoupled diagonal blocks (3 independent Poissons)."""
+    sp = Space([Axis.uniform(p=2, nel=6) for _ in range(3)], dof=3,
+               dtype=F64)
+
+    def coef(x, ctx):
+        I = jnp.eye(3)
+        return {(i, i): I * (0.5 + 0.5 * i) for i in range(1, 4)}
+
+    form = coefficient_pointwise_form(coef)
+    A, _ = assemble_system_planes(sp, form, interpret=True, apply_fix=False)
+    B, _ = assemble_coefficient_planes(
+        sp, coef, interpret=True, conv_min=8, apply_fix=False
+    )
+    x = jnp.asarray(np.random.default_rng(6).normal(size=(sp.nnodes, 3)))
+    np.testing.assert_allclose(
+        np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )

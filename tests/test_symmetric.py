@@ -87,3 +87,31 @@ def test_symmetric_pallas_fast_operator():
     np.testing.assert_allclose(
         np.asarray(op.matvec(x)), np.asarray(Ap.matvec(x)), atol=1e-12
     )
+
+
+def test_symmetric_mirrored_slot_kernel():
+    """The mirrored-slot kernel (kind='sym') streams only the Ku upper
+    planes and must match the full operator exactly — several sizes so
+    the ring crosses chunk boundaries, plus a CG solve."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+    from petiga_tpu.solve.krylov import cg
+
+    for nel in (4, 6, 9):
+        spp = make_space(3, p=2, nel=nel, dtype=F64)
+        Ap, b = assemble_system(spp, poisson_system, {"c": 0.2, "k": 1.0})
+        Sp = SymmetricStencilMatrix.from_full(Ap)
+        op = PallasStencilOperator.from_symmetric(Sp, interpret=True)
+        assert op.kind == "sym"
+        assert op.DT.shape[0] == Sp.Ku
+        x = jnp.asarray(
+            np.random.default_rng(nel).normal(size=(spp.nnodes, 1))
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(x)), np.asarray(Ap.matvec(x)), atol=1e-12
+        )
+        if nel == 6:
+            ref = cg(Ap, b, rtol=1e-11)
+            res = cg(op, b, rtol=1e-11)
+            np.testing.assert_allclose(
+                np.asarray(res.x), np.asarray(ref.x), atol=1e-9
+            )
