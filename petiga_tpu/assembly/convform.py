@@ -262,6 +262,85 @@ def _forcing_kernel(space, dtype, reps):
 # ----------------------------------------------------------------- W tensors
 
 
+def _fine_basis_mats(space, dtype):
+    """Per-axis dense (F_d, N_d) basis value/derivative matrices on the
+    fine quadrature grid (F_d = nel_d·nq_d rows, p+1 nonzeros per row):
+    spline fields (geometry, NURBS weights) evaluate on the fine tensor
+    grid as three banded matrix contractions — sum-factorized, MXU-
+    friendly, no per-element tabulation."""
+    mats = []
+    for d in range(space.dim):
+        t = space.tabs[d]
+        N = space.node_shape[d]
+        B0 = np.zeros((t.nel * t.nqp, N))
+        B1 = np.zeros((t.nel * t.nqp, N))
+        for e in range(t.nel):
+            o = int(t.offset[e])
+            B0[e * t.nqp:(e + 1) * t.nqp, o:o + t.p + 1] = t.value[e, :, 0, :]
+            B1[e * t.nqp:(e + 1) * t.nqp, o:o + t.p + 1] = t.value[e, :, 1, :]
+        mats.append((jnp.asarray(B0, dtype), jnp.asarray(B1, dtype)))
+    return mats
+
+
+def _fine_field(space, mats, ders, G, blo, bext):
+    """Evaluate a control-point grid field ``G (N_rev..., C)`` on a
+    box's fine grid with per-axis derivative orders ``ders``: returns
+    (f_rev..., C)."""
+    dim = space.dim
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    out = G
+    for d in range(dim - 1, -1, -1):  # contract the (chunked) z first
+        B = mats[d][ders[d]]
+        Bd = B[blo[d] * nq[d]:(blo[d] + bext[d]) * nq[d], :]
+        g = dim - 1 - d
+        out = jnp.moveaxis(
+            jnp.tensordot(Bd, out, axes=(1, g)), 0, g
+        )
+    return out
+
+
+def _fine_geometry(space, mats, Ggrid, wgrid, blo, bext):
+    """Geometry fields of a box on the fine grid: physical coordinates
+    ``x``, Jacobian ``J[i, d] = dx_i/du_d``, plus (rational) the weight
+    field ``Wf`` and its parametric gradient ``dWf``.
+
+    ``Ggrid``: (N_rev..., nsd) control points (pre-multiplied by the
+    rational weights when present); ``wgrid``: (N_rev..., 1) weights or
+    None."""
+    dim = space.dim
+    e = [0] * dim
+    A0 = _fine_field(space, mats, tuple(e), Ggrid, blo, bext)
+    Ad = []
+    for d in range(dim):
+        e = [0] * dim
+        e[d] = 1
+        Ad.append(_fine_field(space, mats, tuple(e), Ggrid, blo, bext))
+    if wgrid is None:
+        X = A0
+        J = jnp.stack(Ad, axis=-1)  # (f..., nsd, dim)
+        return X, J, None, None
+    W0 = _fine_field(space, mats, (0,) * dim, wgrid, blo, bext)[..., 0]
+    Wd = []
+    for d in range(dim):
+        e = [0] * dim
+        e[d] = 1
+        Wd.append(
+            _fine_field(space, mats, tuple(e), wgrid, blo, bext)[..., 0]
+        )
+    X = A0 / W0[..., None]
+    # quotient rule: d(A/W) = (A_d W - A W_d) / W^2
+    J = jnp.stack(
+        [
+            (Ad[d] * W0[..., None] - A0 * Wd[d][..., None])
+            / (W0 ** 2)[..., None]
+            for d in range(dim)
+        ],
+        axis=-1,
+    )
+    dW = jnp.stack(Wd, axis=-1)  # (f..., dim)
+    return X, J, W0, dW
+
+
 def _fine_X(space, axis_xf, blo, bext):
     """Quadrature-point coordinates of an element box on the FINE tensor
     grid (per-axis flat index ``e·nq + q``): shape (f_rev..., dim) with
@@ -302,6 +381,23 @@ def _space_to_depth(space, F, bext):
 
 
 # ------------------------------------------------------- shell accumulation
+
+
+def _shifted_weight_window(wgrid, node_sl, off_rev, N_rev):
+    """``w[n + off]`` for ``n`` in the node window, zero outside the
+    grid — static clamped slices + pads (open axes)."""
+    sl = []
+    pads = []
+    for g, s in enumerate(node_sl):
+        a, b = s.start + off_rev[g], s.stop + off_rev[g]
+        lo_c, hi_c = max(a, 0), min(b, N_rev[g])
+        if hi_c <= lo_c:
+            return jnp.zeros(
+                tuple(s.stop - s.start for s in node_sl), wgrid.dtype
+            )
+        sl.append(slice(lo_c, hi_c))
+        pads.append((lo_c - a, b - hi_c))
+    return jnp.pad(wgrid[tuple(sl)], pads)
 
 
 def _box_node_slices(space, lo, ext):
@@ -442,8 +538,12 @@ def assemble_coefficient_planes(
         raise ValueError("conv assembly requires open axes")
     if not fastpath.is_unit_step(space):
         raise ValueError("conv assembly requires a regular unit-step space")
-    if space.has_geometry or space.rational is not None:
-        raise ValueError("conv assembly requires the identity map")
+    geom = space.has_geometry or space.is_rational
+    if geom and space.nsd != space.dim:
+        raise ValueError(
+            "conv assembly requires dim == nsd geometry (manifolds fall "
+            "back to the pointwise path)"
+        )
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
     dim = space.dim
@@ -461,7 +561,10 @@ def assemble_coefficient_planes(
     est = st.K * dof * dof * st.nnodes * jnp.dtype(dt).itemsize
     if row_aligned is None:
         row_aligned = dim == 3 and est > 2 * 2**30
-    row_aligned = bool(row_aligned) and dim == 3 and dof == 1
+    row_aligned = (
+        bool(row_aligned) and dim == 3 and dof == 1
+        and not space.is_rational
+    )
     align = alignment_pads(st, row_aligned=row_aligned)
     Ne = tuple(n + a for n, a in zip(N, align))
     K = st.K
@@ -482,7 +585,7 @@ def assemble_coefficient_planes(
             raise ValueError(f"channel {(i, j)} out of range (order-1 only)")
     const_shapes = ((), (dof, dof)) if dof > 1 else ((),)
     is_const = {c: np.shape(probe[c]) in const_shapes for c in chlist}
-    all_const = all(is_const.values())
+    all_const = all(is_const.values()) and not geom
 
     def _block_entry(val, r, c):
         """(r, c) entry of a channel value (scalars pass through for
@@ -491,21 +594,41 @@ def assemble_coefficient_planes(
             return val
         return jnp.asarray(val, dt)[..., r, c]
 
-    # per-(r, c) channel lists (zero-pruned from the concrete probe)
+    # per-(r, c) channel lists (zero-pruned from the concrete probe).
+    # Under a geometry map, the CONV channels are the PARAMETRIC pairs
+    # (k, l): spatial channels pull back through S (the inverse-Jacobian
+    # /rationalization matrix), C̃ = detX·Sᵀ C S; a user pair (i, j)
+    # with a nonzero (r, c) block activates the parametric pairs its
+    # S-rows can reach.
+    def _user_pairs_rc(r, c):
+        out = []
+        for ch in chlist:
+            v = probe[ch]
+            if dof > 1 and is_const[ch]:
+                if float(np.asarray(v)[r, c]) == 0.0:
+                    continue
+            out.append(ch)
+        return out
+
+    def _param_rows(k):
+        if k == 0:
+            return set(range(dim + 1)) if space.is_rational else {0}
+        return set(range(1, dim + 1))
+
     chmap = {}
     for r in range(dof):
         for c in range(dof):
-            if dof == 1:
-                chmap[(r, c)] = tuple(chlist)
+            users = _user_pairs_rc(r, c)
+            if not geom:
+                chmap[(r, c)] = tuple(users)
                 continue
+            ui = {i for i, _ in users}
+            uj = {j for _, j in users}
             keep = []
-            for ch in chlist:
-                v = probe[ch]
-                if is_const[ch]:
-                    if float(np.asarray(v)[r, c]) != 0.0:
-                        keep.append(ch)
-                else:
-                    keep.append(ch)
+            for k in range(dim + 1):
+                for l in range(dim + 1):
+                    if (_param_rows(k) & ui) and (_param_rows(l) & uj):
+                        keep.append((k, l))
             chmap[(r, c)] = tuple(keep)
 
     # type-combo boxes: large ones (the interior block + whole boundary
@@ -600,14 +723,34 @@ def assemble_coefficient_planes(
             s += e
         return out
 
-    # Per-axis fine-grid coordinates and per-box element ids enter the
-    # program as jit ARGUMENTS: as closure constants, XLA's TPU pipeline
-    # constant-folds them through the W/tabulation broadcasts into
-    # multi-GB embedded literals (observed: a 2.9 GB executable at 64³).
+    # Per-axis fine-grid coordinates, geometry grids, and per-box
+    # element ids enter the program as jit ARGUMENTS: as closure
+    # constants, XLA's TPU pipeline constant-folds them through the
+    # W/tabulation broadcasts into multi-GB embedded literals
+    # (observed: a 2.9 GB executable at 64³).
     axis_xf = tuple(
         jnp.asarray(space.tabs[d].point.reshape(-1), dt)
         for d in range(dim)
     )
+    mats = _fine_basis_mats(space, dt) if geom else None
+    Gg = wg = None
+    if geom:
+        if space.is_rational:
+            wg = jnp.asarray(
+                np.asarray(space.rational).reshape(tuple(N[::-1]) + (1,)),
+                dt,
+            )
+        if space.has_geometry:
+            Gx = np.asarray(space.geometry).reshape(
+                tuple(N[::-1]) + (space.nsd,)
+            )
+            if space.is_rational:
+                # projective (weighted) control points for the map
+                Gx = Gx * np.asarray(space.rational).reshape(
+                    tuple(N[::-1]) + (1,)
+                )
+            Gg = jnp.asarray(Gx, dt)
+    geo_args = (Gg, wg)
 
     def add_planes(Pg, contrib, node_sl, rc=None):
         """Add a contribution into the planes at a static node region.
@@ -628,10 +771,45 @@ def assemble_coefficient_planes(
         win = win.at[(slice(None), slice(None)) + node_sl[1:]].add(contrib)
         return Pg.at[:, r0:r1, :].set(win.reshape(K, r1 - r0, 128))
 
-    def conv_chunk(Pg, bg, run_ctx, axis_xf, blo, bext, reps):
+    d1 = dim + 1
+
+    def _S_components(X, E1, W0, dW):
+        """Structurally-sparse S[i][k] (spatial D_i of the stored basis
+        from parametric D̂_k of plain N; None = zero).  Rationalization
+        (T) and inverse-map pullback (E1) composed per point."""
+        S = [[None] * d1 for _ in range(d1)]
+        if space.is_rational:
+            S[0][0] = 1.0 / W0
+            for i in range(1, d1):
+                if E1 is None:  # identity map
+                    g0 = -dW[..., i - 1] / W0**2
+                    S[i][0] = g0
+                    S[i][i] = 1.0 / W0
+                else:
+                    S[i][0] = (
+                        -jnp.einsum("...d,...d->...", E1[..., i - 1], dW)
+                        / W0**2
+                    )
+                    for k in range(1, d1):
+                        S[i][k] = E1[..., k - 1, i - 1] / W0
+        else:
+            S[0][0] = 1.0
+            for i in range(1, d1):
+                if E1 is None:
+                    S[i][i] = 1.0
+                else:
+                    for k in range(1, d1):
+                        S[i][k] = E1[..., k - 1, i - 1]
+        return S
+
+    def conv_chunk(Pg, bg, run_ctx, axis_xf, geo, blo, bext, reps):
         """One conv box chunk accumulated into (Pg, bg): one conv per
         (r, c) field pair (pruned channel lists), sharing the fine-grid
-        evaluation."""
+        evaluation.  Under a geometry map the coefficient channels are
+        pulled back per point (C̃ = detX·Sᵀ C S) so the conv kernel
+        stays parametric and element-type-constant."""
+        from .tabulation import det_small, inv_small
+
         node_sl = tuple(
             slice(blo[dim - 1 - g],
                   blo[dim - 1 - g] + bext[dim - 1 - g] + p[dim - 1 - g])
@@ -639,11 +817,45 @@ def assemble_coefficient_planes(
         )
         X = None
         ch = None
-        if not all_const:
+        S = None
+        meas = None  # detX (/W for rational) — multiplies f in the load
+        if geom:
+            Gg, wg = geo
+            if space.has_geometry:
+                X, J, W0, dW = _fine_geometry(
+                    space, mats, Gg, wg, blo, bext
+                )
+                detX = det_small(J)
+                E1 = inv_small(J, detX)
+            else:  # rational weights on the identity map
+                X = _fine_X(space, axis_xf, blo, bext)
+                W0 = _fine_field(
+                    space, mats, (0,) * dim, wg, blo, bext
+                )[..., 0]
+                dW = jnp.stack(
+                    [
+                        _fine_field(
+                            space, mats,
+                            tuple(1 if dd == d else 0 for dd in range(dim)),
+                            wg, blo, bext,
+                        )[..., 0]
+                        for d in range(dim)
+                    ],
+                    axis=-1,
+                )
+                detX = None
+                E1 = None
+            S = _S_components(X, E1, W0 if space.is_rational else None,
+                              dW if space.is_rational else None)
+            meas = detX if detX is not None else jnp.ones(X.shape[:-1], dt)
+            if space.is_rational:
+                meas = meas / W0
+            ch = coef(X, run_ctx)
+        elif not all_const:
             X = _fine_X(space, axis_xf, blo, bext)
             ch = coef(X, run_ctx)
         chv = coef(jnp.zeros((1, dim), dt), run_ctx) if (
-            not all(not is_const[c] for c in chlist)
+            any(is_const[c] for c in chlist)
         ) else None
         for r in range(dof):
             for c in range(dof):
@@ -652,7 +864,32 @@ def assemble_coefficient_planes(
                     continue
                 ker = kers[(reps, chl)]
                 nchQ = ker.shape[dim]
-                if all(is_const[cc] for cc in chl):
+                if geom:
+                    users = _user_pairs_rc(r, c)
+                    fsh = X.shape[:-1]
+                    Fch = []
+                    for (k, l) in chl:
+                        acc = None
+                        for (i, j) in users:
+                            if S[i][k] is None or S[j][l] is None:
+                                continue
+                            v = jnp.asarray(
+                                _block_entry(ch[(i, j)], r, c), dt
+                            )
+                            term = S[i][k] * v * S[j][l]
+                            acc = term if acc is None else acc + term
+                        if acc is None:
+                            Fch.append(jnp.zeros(fsh, dt))
+                        else:
+                            dX = detX if detX is not None else 1.0
+                            Fch.append(
+                                jnp.broadcast_to(
+                                    jnp.asarray(dX * acc, dt), fsh
+                                )
+                            )
+                    F = jnp.stack(Fch, axis=-1)
+                    W = _space_to_depth(space, F, bext)
+                elif all(is_const[cc] for cc in chl):
                     cvec = jnp.stack(
                         [
                             _block_entry(chv[cc], r, c).reshape(())
@@ -663,9 +900,6 @@ def assemble_coefficient_planes(
                         jnp.tile(cvec, Q), tuple(bext[::-1]) + (nchQ,)
                     )
                 else:
-                    if X is None:
-                        X = _fine_X(space, axis_xf, blo, bext)
-                        ch = coef(X, run_ctx)
                     F = jnp.stack(
                         [
                             jnp.broadcast_to(
@@ -687,22 +921,51 @@ def assemble_coefficient_planes(
                     W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
                     preferred_element_type=dt,
                 )[0]
-                Pg = add_planes(
-                    Pg, jnp.moveaxis(out, dim, 0), node_sl,
-                    rc=r * dof + c,
-                )
+                contrib = jnp.moveaxis(out, dim, 0)
+                if space.is_rational:
+                    # conjugate the PLAIN-basis conv result by the node
+                    # weights per slot (A = D_w Ã D_w restricted to this
+                    # window); the gen boxes are already rational-native
+                    wgr = geo[1][..., 0]
+                    N_rev = tuple(N[::-1])
+                    wwin = _shifted_weight_window(
+                        wgr, node_sl, (0,) * dim, N_rev
+                    )
+                    offs = st.slot_offsets()
+                    contrib = jnp.stack(
+                        [
+                            contrib[s] * (
+                                wwin * _shifted_weight_window(
+                                    wgr, node_sl,
+                                    tuple(int(offs[s, dim - 1 - g])
+                                          for g in range(dim)),
+                                    N_rev,
+                                )
+                            )
+                            for s in range(K)
+                        ]
+                    )
+                Pg = add_planes(Pg, contrib, node_sl, rc=r * dof + c)
         if forcing is not None:
             if X is None:
                 X = _fine_X(space, axis_xf, blo, bext)
             f = jnp.asarray(forcing(X, run_ctx), dt)
             for r in range(dof):
                 fr = f if dof == 1 else f[..., r]
+                if meas is not None:
+                    fr = fr * meas
                 Ff = jnp.broadcast_to(fr, X.shape[:-1])[..., None]
                 Wf = _space_to_depth(space, Ff, bext)
                 outf = jax.lax.conv_general_dilated(
                     Wf[None], kerfs[reps], (1,) * dim, pad,
                     dimension_numbers=dn, preferred_element_type=dt,
                 )[0]
+                if space.is_rational:
+                    wwin = _shifted_weight_window(
+                        geo[1][..., 0], node_sl, (0,) * dim,
+                        tuple(N[::-1]),
+                    )
+                    outf = outf * wwin[..., None]
                 bg = bg.at[node_sl + (slice(r, r + 1),)].add(outf)
         return Pg, bg
 
@@ -753,8 +1016,8 @@ def assemble_coefficient_planes(
                 if kind == "conv":
                     blo, bext, reps = static
                     fn = jax.jit(
-                        lambda Pg, bg, c_, xf_: conv_chunk(
-                            Pg, bg, c_, xf_, blo, bext, reps
+                        lambda Pg, bg, c_, xf_, geo_: conv_chunk(
+                            Pg, bg, c_, xf_, geo_, blo, bext, reps
                         ),
                         donate_argnums=(0, 1),
                     )
@@ -772,7 +1035,7 @@ def assemble_coefficient_planes(
         Pg, bg = zeros_Pb()
         for blo, bext, reps in conv_tasks:
             Pg, bg = step_fn("conv", (blo, bext, reps))(
-                Pg, bg, ctx, axis_xf
+                Pg, bg, ctx, axis_xf, geo_args
             )
         for (blo, bext), ids in zip(gen_boxes, gen_ids):
             Pg, bg = step_fn("gen", (blo, bext))(Pg, bg, ctx, ids)
@@ -780,11 +1043,11 @@ def assemble_coefficient_planes(
         # One cached executable per (space, coef structure): ctx flows
         # as a jit ARGUMENT so repeated assemblies with new coefficient
         # values reuse the same program (no recompiles).
-        def run(run_ctx, axis_xf, gids):
+        def run(run_ctx, axis_xf, geo_, gids):
             Pg, bg = zeros_Pb()
             for blo, bext, reps in conv_tasks:
-                Pg, bg = conv_chunk(Pg, bg, run_ctx, axis_xf, blo, bext,
-                                    reps)
+                Pg, bg = conv_chunk(Pg, bg, run_ctx, axis_xf, geo_,
+                                    blo, bext, reps)
             for (blo, bext), ids in zip(gen_boxes, gids):
                 Pg, bg = gen_box(Pg, bg, run_ctx, ids, blo, bext)
             return Pg, bg
@@ -793,7 +1056,7 @@ def assemble_coefficient_planes(
         if fn is None:
             fn = jax.jit(run)
             space._device_cache[ckey] = fn
-        Pg, bg = fn(ctx, axis_xf, gen_ids)
+        Pg, bg = fn(ctx, axis_xf, geo_args, gen_ids)
     M = int(np.prod(Ne)) // LANES
     op = PallasStencilOperator.from_planes(
         st, Pg.reshape(K * dof * dof, M, LANES), align, interpret=interpret

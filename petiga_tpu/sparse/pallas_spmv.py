@@ -296,13 +296,13 @@ def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         in_specs=[
             pl.BlockSpec(
                 (K * dof * dof, ROWS, LANES),
-                lambda i: (0, i, 0),
+                lambda i: (jnp.int32(0), i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (dof, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (dof, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(DT, xb)
@@ -375,12 +375,12 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
             pl.BlockSpec(
                 (K * dof * dof, ROWS, LANES),
-                lambda i: (0, i, 0),
+                lambda i: (jnp.int32(0), i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (dof, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (dof, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * dof * WIN, LANES), dtype),
@@ -489,12 +489,12 @@ def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
             pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
             pl.BlockSpec(
                 (Ku, ROWS, LANES),
-                lambda i: (0, i, 0),
+                lambda i: (jnp.int32(0), i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ROWS, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (1, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * WIN, LANES), dtype),

@@ -239,3 +239,64 @@ def test_conv_dof3_poisson_vector():
     np.testing.assert_allclose(
         np.asarray(B.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
     )
+
+
+def _curved_space(nel=8, p=2, rational=False):
+    sp = make_space(2, p=p, nel=nel, dtype=F64)
+    G = sp.greville_coordinates()  # (nnodes, 2) parametric
+    X = np.asarray(G).copy()
+    X[:, 0] = X[:, 0] + 0.08 * np.sin(np.pi * X[:, 1]) * X[:, 0] * (1 - X[:, 0] + 0.5)
+    X[:, 1] = X[:, 1] + 0.06 * np.sin(np.pi * X[:, 0])
+    W = None
+    if rational:
+        rng = np.random.default_rng(7)
+        W = 1.0 + 0.4 * rng.random(sp.nnodes)
+    sp.init_geometry(X, W)
+    return sp
+
+
+def test_conv_mapped_geometry():
+    """Non-rational mapped geometry: the pullback (C-tilde = detX S^T C S)
+    absorbed into the channels matches the tabulation-based path."""
+    sp = _curved_space(nel=8)
+
+    def coef(x, ctx):
+        return {(1, 1): 1.0 + 0.2 * x[..., 1], (2, 2): 0.8,
+                (0, 0): 0.5, (0, 1): 0.3 * x[..., 0]}
+
+    _compare(sp, coef,
+             forcing=lambda x, ctx: x[..., 0] * x[..., 1] + 1.0)
+
+
+def test_conv_rational_identity():
+    """Rational (NURBS) weights on the identity map: T-transform
+    channels + node-weight conjugation."""
+    sp = _curved_space(nel=7, rational=True)
+    sp.geometry = None  # weights only
+
+    def coef(x, ctx):
+        return {(1, 1): 1.0, (2, 2): 1.0, (0, 0): 0.3}
+
+    _compare(sp, coef, forcing=lambda x, ctx: x[..., 0] + 0.5)
+
+
+def test_conv_full_nurbs():
+    """Mapped geometry AND rational weights together."""
+    sp = _curved_space(nel=7, rational=True)
+
+    def coef(x, ctx):
+        return {(1, 1): 1.0 + 0.1 * x[..., 0], (2, 2): 0.9, (0, 0): 0.2}
+
+    _compare(sp, coef, forcing=lambda x, ctx: jnp.sin(x[..., 0]))
+
+
+def test_conv_mapped_3d():
+    sp = make_space(3, p=2, nel=6, dtype=F64)
+    G = np.asarray(sp.greville_coordinates()).copy()
+    G[:, 0] += 0.05 * np.sin(np.pi * G[:, 1]) * np.sin(np.pi * G[:, 2])
+    sp.init_geometry(G)
+
+    def coef(x, ctx):
+        return {(i, i): 1.0 for i in range(1, 4)}
+
+    _compare(sp, coef)

@@ -113,14 +113,35 @@ def test_pallas_spmv_oversize_dof_falls_back():
     """K·dof² beyond the VMEM streaming budget falls back to XLA."""
     from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
 
+    # dof=5 (125·25 f64 planes) fits since the HBM-window plan budget
+    # grew to ~88 MB (rows scale against the 128 MiB v5e VMEM); dof=9
+    # (125·81 planes = 166 MB at rows=8) still exceeds it
     sp = Space([Axis.uniform(p=2, nel=4) for _ in range(3)], dof=5, dtype=F64)
     A, _ = assemble_system(sp, _block_form(5), apply_fix=False)
     op = PallasStencilOperator(A, interpret=True)
-    assert not op.ok  # 125 * 25 planes * f64 exceeds the budget
+    assert op.ok and op.kind == "hbm"
     rng = np.random.default_rng(2)
     x = jnp.asarray(rng.normal(size=(sp.nnodes, 5)))
     np.testing.assert_allclose(
         np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+    )
+    sp9 = Space([Axis.uniform(p=2, nel=3) for _ in range(3)], dof=9,
+                dtype=F64)
+
+    def bigform(pt, ctx):
+        K = jnp.outer(pt.shape0, pt.shape0)
+        C = jnp.eye(9) + 0.01
+        return (
+            jnp.einsum("ij,ab->iajb", K, C).reshape(sp9.nen * 9, sp9.nen * 9),
+            jnp.zeros(sp9.nen * 9),
+        )
+
+    A9, _ = assemble_system(sp9, bigform, apply_fix=False)
+    op9 = PallasStencilOperator(A9, interpret=True)
+    assert not op9.ok
+    x9 = jnp.asarray(rng.normal(size=(sp9.nnodes, 9)))
+    np.testing.assert_allclose(
+        np.asarray(op9.matvec(x9)), np.asarray(A9.matvec(x9)), atol=1e-12
     )
 
 
