@@ -94,6 +94,18 @@ def make_space(dim, p=2, nel=8, continuity=None, dtype=jnp.float32, **kw) -> Spa
     return sp
 
 
+def poisson_forcing(c=0.0, k=1.0):
+    """Manufactured forcing for the coefficient-form engine."""
+
+    def forcing(x, ctx):
+        dim = x.shape[-1]
+        return (c + k * dim * jnp.pi**2) * jnp.prod(
+            jnp.sin(jnp.pi * x), axis=-1
+        )
+
+    return forcing
+
+
 def solve_poisson(
     space: Space,
     *,
@@ -101,12 +113,52 @@ def solve_poisson(
     k: float = 1.0,
     rtol: float = 1e-10,
     chunk: Optional[int] = None,
+    engine: str = "auto",
 ):
-    """Assemble + CG(Jacobi) solve; returns (U, info dict)."""
+    """Assemble + CG(Jacobi) solve; returns (U, info dict).
+
+    ``engine="auto"`` uses the convolution (coefficient-form) assembler
+    on eligible spaces (open, regular, unit-step — the MXU fast path;
+    assembly/convform.py) and the generic pointwise path otherwise;
+    "conv"/"pointwise" force a choice."""
+    from ..assembly import fastpath
+
+    use_conv = engine == "conv" or (
+        engine == "auto"
+        and not any(space.periodic)
+        and not space.collocation
+        and fastpath.is_unit_step(space)
+        and (not (space.has_geometry or space.is_rational)
+             or space.nsd == space.dim)
+    )
+    if use_conv:
+        from ..assembly.convform import (
+            assemble_coefficient_planes,
+            poisson_coefficients,
+        )
+
+        op, b = assemble_coefficient_planes(
+            space, poisson_coefficients, {"c": c, "k": k},
+            forcing=poisson_forcing(c, k),
+        )
+        dinv = _jacobi_inv(op)
+        res = cg(op, b, M=lambda r: r * dinv, rtol=rtol)
+        return res.x, {
+            "iters": int(res.iters),
+            "residual": float(res.residual),
+            "A": op,
+            "b": b,
+            "engine": "conv",
+        }
     A, b = assemble_system(space, poisson_system, {"c": c, "k": k}, chunk=chunk)
     M = jacobi_preconditioner(A)
     res = cg(A.fast_operator(), b, M=M, rtol=rtol)
-    return res.x, {"iters": int(res.iters), "residual": float(res.residual), "A": A, "b": b}
+    return res.x, {"iters": int(res.iters), "residual": float(res.residual), "A": A, "b": b, "engine": "pointwise"}
+
+
+def _jacobi_inv(op):
+    d = op.scalar_diagonal()
+    return jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 1.0)
 
 
 def l2_error(space, U) -> float:
