@@ -299,7 +299,14 @@ def _flat_spmv(DT, xb, *, shifts, dof, guard, rows, interpret=False):
                 lambda i: (jnp.int32(0), i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # explicit whole-array map: the synthesized default returns
+            # python-int zeros, which trace to i64 under x64 and fail
+            # Mosaic legalization
+            pl.BlockSpec(
+                (dof * seg, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (dof, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
