@@ -920,6 +920,7 @@ def assemble_coefficient_planes(
                 out = jax.lax.conv_general_dilated(
                     W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
                     preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST,
                 )[0]
                 contrib = jnp.moveaxis(out, dim, 0)
                 if space.is_rational:
@@ -959,6 +960,7 @@ def assemble_coefficient_planes(
                 outf = jax.lax.conv_general_dilated(
                     Wf[None], kerfs[reps], (1,) * dim, pad,
                     dimension_numbers=dn, preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST,
                 )[0]
                 if space.is_rational:
                     wwin = _shifted_weight_window(

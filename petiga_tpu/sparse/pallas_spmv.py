@@ -340,6 +340,10 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
         def dma(slot_, chunk, b):
+            # i32 casts: python-int literals (the i==0 prefetch) trace
+            # to i64 under x64 and tpu.memref_slice requires i32
+            slot_ = jnp.int32(slot_)
+            chunk = jnp.int32(chunk)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(b * seg + chunk * ROWS, WIN), :],
                 xwin.at[pl.ds((slot_ * dof + b) * WIN, WIN), :],
@@ -434,6 +438,8 @@ def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
         slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
         def dma(slot_, chunk):
+            slot_ = jnp.int32(slot_)  # i64 under x64 otherwise
+            chunk = jnp.int32(chunk)
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(chunk * ROWS, WIN), :],
                 xwin.at[pl.ds(slot_ * WIN, WIN), :],
