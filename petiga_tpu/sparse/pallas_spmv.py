@@ -347,7 +347,7 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
             return pltpu.make_async_copy(
                 x_hbm.at[pl.ds(b * seg + chunk * ROWS, WIN), :],
                 xwin.at[pl.ds((slot_ * dof + b) * WIN, WIN), :],
-                sems.at[slot_, b],
+                sems.at[slot_, jnp.int32(b)],
             )
 
         @pl.when(i == 0)
