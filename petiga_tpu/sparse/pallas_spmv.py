@@ -190,8 +190,11 @@ def _plan(stencil, itemsize: int = 4, align=None, pads=None, planes=None):
     # core; the kernel raises Mosaic's scoped-vmem cap accordingly).
     # ~88 MiB of explicit buffers leaves headroom for Mosaic's stack
     # and the (q-grouped, ≤2 live) window loads.
-    hbm_budget = int(88 * 2**20)
-    for r in (512, 384, 256, 128, 64, 32, 16, 8):
+    # rows=512 passed the 124 MB compile-time check (116.8 MB of
+    # explicit+stack buffers) but crashed the TPU worker at runtime at
+    # 256^3 -- keep a real safety margin on the 128 MiB core
+    hbm_budget = int(66 * 2**20)
+    for r in (384, 256, 128, 64, 32, 16, 8):
         win = r + 2 * Gh
         dt_bytes = 2 * planes * r * LANES * itemsize
         x_bytes = 2 * dof * win * LANES * itemsize
@@ -376,7 +379,7 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         # x window-read amplification (rows+2G)/rows), so raise the cap
         # toward the 128 MB physical VMEM of a v5e core.
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=124 * 2**20
+            vmem_limit_bytes=100 * 2**20
         )
     return pl.pallas_call(
         kernel,
@@ -492,7 +495,7 @@ def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=124 * 2**20
+            vmem_limit_bytes=100 * 2**20
         )
     return pl.pallas_call(
         kernel,
