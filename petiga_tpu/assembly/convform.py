@@ -54,6 +54,7 @@ __all__ = [
     "coefficient_pointwise_form",
     "poisson_coefficients",
     "assemble_coefficient_planes",
+    "assemble_load_vector",
 ]
 
 
@@ -1071,3 +1072,112 @@ def assemble_coefficient_planes(
         mask, _ = space.device("dirichlet")
         b = b + jnp.where(mask, 0.0, flux.astype(dt))
     return op, b
+
+
+def assemble_load_vector(space, forcing: Callable, ctx=None, *,
+                         shell_chunk: int = 32768, conv_min: int = 2048,
+                         chunk_z: Optional[int] = None):
+    """Load vector ``b_a = ∫ f N_a`` via forcing convolutions over the
+    type-combo boxes (+ tiny generic edge boxes) — scatter-free and
+    tabulation-free.  The f64 path of the mixed-precision refinement
+    uses this at 256³: the scatter-based ``assemble_vector`` crashes
+    libtpu there, and the conv route is faster anyway.
+
+    Identity map, any spatial dim, dof = 1.  ``forcing(x, ctx)``.
+    Returns a flat (nnodes, 1) vector (no Dirichlet elimination)."""
+    from .tabulation import tabulate_elements
+
+    if any(space.periodic) or not fastpath.is_unit_step(space):
+        raise ValueError("conv load assembly requires open unit-step axes")
+    if space.has_geometry or space.is_rational or space.dof != 1:
+        raise ValueError("conv load assembly: identity map, dof=1")
+    dim = space.dim
+    dt = space.dtype
+    p = space.degrees
+    N = space.node_shape
+    eshape = space.elem_shape
+    dn = _dimension_numbers(dim)
+    pad = [(p[d], p[d]) for d in range(dim)][::-1]
+    Q = int(np.prod([space.tabs[d].nqp for d in range(dim)]))
+
+    conv_boxes = []
+    gen_boxes = []
+    for blo, bext, reps in _combo_boxes(space):
+        if int(np.prod(bext)) >= conv_min:
+            conv_boxes.append((blo, bext, reps))
+        else:
+            gen_boxes.extend(_split_box(blo, bext, shell_chunk))
+    kerfs = {}
+    for _, _, reps in conv_boxes:
+        if reps not in kerfs:
+            kerfs[reps] = _forcing_kernel(space, dt, reps)
+    axis_xf = tuple(
+        jnp.asarray(space.tabs[d].point.reshape(-1), dt)
+        for d in range(dim)
+    )
+    gen_ids = tuple(_box_ids(eshape, blo, bext) for blo, bext in gen_boxes)
+
+    def _zs(bext):
+        ez = bext[dim - 1]
+        cz = chunk_z
+        if cz is None:
+            per_layer = (
+                int(np.prod(bext[:-1])) * Q * 2 * jnp.dtype(dt).itemsize
+            ) if dim > 1 else 1
+            cz = max(1, min(ez, (256 * 2**20) // max(per_layer, 1)))
+        out = []
+        s = 0
+        while s < ez:
+            e = min(cz, ez - s)
+            out.append((s, e))
+            s += e
+        return out
+
+    def run(run_ctx, axis_xf, gids):
+        bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
+        for blo0, bext0, reps in conv_boxes:
+            for (zs, zext) in _zs(bext0):
+                blo = list(blo0)
+                bext = list(bext0)
+                blo[dim - 1] = blo0[dim - 1] + zs
+                bext[dim - 1] = zext
+                X = _fine_X(space, axis_xf, blo, bext)
+                Ff = jnp.broadcast_to(
+                    jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
+                )[..., None]
+                Wf = _space_to_depth(space, Ff, bext)
+                outf = jax.lax.conv_general_dilated(
+                    Wf[None], kerfs[reps], (1,) * dim, pad,
+                    dimension_numbers=dn, preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[0]
+                node_sl = tuple(
+                    slice(blo[dim - 1 - g],
+                          blo[dim - 1 - g] + bext[dim - 1 - g]
+                          + p[dim - 1 - g])
+                    for g in range(dim)
+                )
+                bg = bg.at[node_sl + (slice(None),)].add(outf)
+        for (blo, bext), ids in zip(gen_boxes, gids):
+            pb = tabulate_elements(space, ids, order=0)
+            f = jnp.broadcast_to(
+                jnp.asarray(forcing(pb.x, run_ctx), dt), pb.weight.shape
+            )
+            Fe = jnp.einsum("bq,bqa->ba", pb.weight * f, pb.shape[0])
+            Ke0 = jnp.zeros(
+                (ids.shape[0], space.nen, space.nen, 1, 1), dt
+            )
+            _, Gv = fastpath.accumulate_box(
+                space, tuple(bext), Ke0, Fe[..., None], 0
+            )
+            node_sl = _box_node_slices(space, blo, bext)
+            bg = bg.at[node_sl + (slice(None),)].add(Gv)
+        return bg
+
+    key = ("convload", forcing, shell_chunk, conv_min, chunk_z, dt)
+    fn = space._device_cache.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        space._device_cache[key] = fn
+    bg = fn(ctx, axis_xf, gen_ids)
+    return bg.reshape(space.nnodes, 1)

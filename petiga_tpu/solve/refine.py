@@ -60,12 +60,31 @@ def _fix_rhs(sp64, A64, b):
 
 def assemble_rhs_f64(sp64, A64, forcing: Callable, *, chunk=None):
     """f64 load vector ``b_a = ∫ f N_a`` with assembled-style Dirichlet
-    elimination; ``forcing(x) -> scalar`` at a physical point."""
+    elimination; ``forcing(x) -> scalar`` at a physical point.
 
-    def vecform(pt, ctx):
-        return forcing(pt.x) * pt.shape0
+    Eligible spaces use the conv (scatter-free) load assembler — the
+    scatter-based f64 path crashes libtpu at 256³."""
+    from ..assembly import fastpath
+    from ..assembly.convform import assemble_load_vector
 
-    b = assemble_vector(sp64, vecform, order=0, chunk=chunk)
+    use_conv = (
+        not any(sp64.periodic)
+        and not sp64.collocation
+        and fastpath.is_unit_step(sp64)
+        and not (sp64.has_geometry or sp64.is_rational)
+        and sp64.dof == 1
+    )
+    if use_conv:
+        def bforce(X, ctx):  # pointwise f lifted to the batched grid
+            flat = X.reshape(-1, X.shape[-1])
+            return jax.vmap(forcing)(flat).reshape(X.shape[:-1])
+
+        b = assemble_load_vector(sp64, bforce)
+    else:
+        def vecform(pt, ctx):
+            return forcing(pt.x) * pt.shape0
+
+        b = assemble_vector(sp64, vecform, order=0, chunk=chunk)
     return _fix_rhs(sp64, A64, b)
 
 
