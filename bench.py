@@ -38,6 +38,11 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# x64 must be ON for the mixed-precision refinement stage (the f64
+# matrix-free residual silently truncates to f32 otherwise); all f32
+# stages declare explicit dtypes and the Pallas kernels use explicit
+# i32 indices, so enabling it does not change the f32 programs.
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
