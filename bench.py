@@ -190,7 +190,8 @@ def bench_mesh(NEL, chunk, solve_rtol, matfree=False, refine=False):
                 y = op.matvec_xb(DT, v)
                 return y / jnp.sqrt(jnp.vdot(y, y))
 
-            y = jax.lax.fori_loop(0, n, body, xb)
+            # i32 bounds keep the f32 loop program x64-invariant
+            y = jax.lax.fori_loop(jnp.int32(0), jnp.int32(n), body, xb)
             return jnp.vdot(y, y)
 
         return loop

@@ -104,7 +104,11 @@ def cg(
         p = z + beta * p
         return (x, r, z, p, rz_new, k + 1)
 
-    x, r, z, p, rz, k = jax.lax.while_loop(cond, step, (x, r, z, p, rz, 0))
+    # i32 counter: a Python-int 0 canonicalizes to i64 under x64, which
+    # would change (and recompile) the otherwise f32-only solve program
+    x, r, z, p, rz, k = jax.lax.while_loop(
+        cond, step, (x, r, z, p, rz, jnp.int32(0))
+    )
     return KrylovResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r).real))
 
 
@@ -149,7 +153,7 @@ def bicgstab(
         r = s - omega * t
         return (x, r, p, v, rho_new, alpha, omega, k + 1)
 
-    st = (x, r, p, v, rho, alpha, omega, 0)
+    st = (x, r, p, v, rho, alpha, omega, jnp.int32(0))
     x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, step, st)
     return KrylovResult(x=x, iters=k, residual=jnp.sqrt(_dot(r, r).real))
 
@@ -202,13 +206,17 @@ def gmres(
                 H = H.at[i, j].set(h)
                 return (w - h * V[i], H)
 
-            w, H = jax.lax.fori_loop(0, restart, mgs, (w, H))
+            w, H = jax.lax.fori_loop(
+                jnp.int32(0), jnp.int32(restart), mgs, (w, H)
+            )
             hn = jnp.sqrt(_dot(w, w)).real
             H = H.at[j + 1, j].set(hn)
             V = V.at[j + 1].set(jnp.where(hn > 1e-30, w / hn, 0))
             return (V, H)
 
-        V, H = jax.lax.fori_loop(0, restart, body, (V, H))
+        V, H = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(restart), body, (V, H)
+        )
         # solve least squares min || beta e1 - H y ||
         e1 = jnp.zeros(restart + 1, dt).at[0].set(beta)
         y, *_ = jnp.linalg.lstsq(H, e1)
@@ -224,6 +232,6 @@ def gmres(
         x, k = st
         return (arnoldi_cycle(x), k + 1)
 
-    x, k = jax.lax.while_loop(cond, step, (x, 0))
+    x, k = jax.lax.while_loop(cond, step, (x, jnp.int32(0)))
     r = b - matvec(x)
     return KrylovResult(x=x, iters=k * restart, residual=jnp.sqrt(_dot(r, r)).real)

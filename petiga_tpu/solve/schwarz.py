@@ -429,8 +429,8 @@ def schwarz_local_preconditioner(
         row_cid = dev_flat * nsub_loc + row_box_j  # (nloc,)
 
         # column coarse ids per (node, slot)
-        cdev_flat = jnp.zeros((nloc, K), jnp.int64)
-        cbox_flat = jnp.zeros((nloc, K), jnp.int64)
+        cdev_flat = jnp.zeros((nloc, K), jnp.int32)
+        cbox_flat = jnp.zeros((nloc, K), jnp.int32)
         for d in range(dim - 1, -1, -1):
             g = origin[d] + lc_j[:, d:d + 1] + soffs_j[None, :, d]
             if sp.periodic[d]:

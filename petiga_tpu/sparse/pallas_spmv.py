@@ -386,7 +386,7 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
         out_shape=jax.ShapeDtypeStruct((dof, M, LANES), dtype),
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays off-chip
             pl.BlockSpec(
                 (K * dof * dof, ROWS, LANES),
                 lambda i: (jnp.int32(0), i, jnp.int32(0)),
@@ -407,18 +407,22 @@ def _flat_spmv_hbm(DT, xb, *, shifts, dof, guard, rows, interpret=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shifts", "guard", "rows", "interpret"),
+    static_argnames=("shifts", "dof", "guard", "rows", "interpret"),
 )
-def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
-    """Symmetric (mirrored-slot) variant, dof = 1: ``DTu`` holds only
-    the ``Ku = (K+1)//2`` upper slots (diagonal onward, flat shifts
-    ``c >= 0``); each stored plane is applied at ``+c`` (direct read)
-    AND transposed at ``-c`` (mirror) in ONE streaming pass — half the
-    full-storage HBM traffic, matching the reference's SBAIJ MatMult
-    (petigamat.c:400-405, 493-495).
+def _flat_spmv_sym(DTu, xb, *, shifts, dof=1, guard, rows,
+                   interpret=False):
+    """Symmetric (mirrored-slot) variant: ``DTu`` holds only the
+    ``Ku = (K+1)//2`` upper slots (diagonal onward, flat shifts
+    ``c >= 0``; plane index ``(ku·dof + a)·dof + b``); each stored plane
+    is applied at ``+c`` (direct read) AND transposed at ``-c``
+    (mirror) in ONE streaming pass — half the full-storage HBM traffic,
+    matching the reference's SBAIJ MatMult (petigamat.c:400-405,
+    493-495).  dof > 1 applies the transposed dof×dof block on the
+    mirror side (``y[j,b] += sum_a D[a,b]·x[i,a]``), the block analog of
+    SBAIJ's ``MatMult_SeqSBAIJ`` upper-triangle walk.
 
-    Mirror terms ``y[m + c] += D_c[m]·x[m]`` are forward scatters; they
-    accumulate in a VMEM ring of ``rows + G`` rows that slides with the
+    Mirror terms are forward scatters; each output field accumulates in
+    its own VMEM ring of ``rows + qmax`` rows that slides with the
     grid: block ``j``'s slot-``c`` contribution lands at STATIC ring
     offset ``c`` (the ring base advances by ``rows`` per step), so no
     dynamic indexing is needed.  x is HBM-windowed like
@@ -440,57 +444,75 @@ def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
         i = pl.program_id(0)
         slot = jax.lax.rem(i, jnp.asarray(2, i.dtype))
 
-        def dma(slot_, chunk):
+        def dma(slot_, chunk, b):
             slot_ = jnp.int32(slot_)  # i64 under x64 otherwise
             chunk = jnp.int32(chunk)
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(chunk * ROWS, WIN), :],
-                xwin.at[pl.ds(slot_ * WIN, WIN), :],
-                sems.at[slot_],
+                x_hbm.at[pl.ds(b * seg + chunk * ROWS, WIN), :],
+                xwin.at[pl.ds((slot_ * dof + b) * WIN, WIN), :],
+                sems.at[slot_, jnp.int32(b)],
             )
 
         @pl.when(i == 0)
         def _():
-            ring[:, :] = jnp.zeros((RING, LANES), dtype)
-            dma(0, 0).start()
+            ring[:, :] = jnp.zeros((dof * RING, LANES), dtype)
+            for b in range(dof):
+                dma(0, 0, b).start()
 
         @pl.when(i + 1 < nchunks)
         def _():
-            dma(1 - slot, i + 1).start()
+            for b in range(dof):
+                dma(1 - slot, i + 1, b).start()
 
-        dma(slot, i).wait()
+        for b in range(dof):
+            dma(slot, i, b).wait()
 
         def window(b, q):
-            return xwin[pl.ds(slot * WIN + G + q, ROWS), :]
+            return xwin[pl.ds((slot * dof + b) * WIN + G + q, ROWS), :]
 
         # direct terms (existing q-grouped accumulation)
-        tot = _accumulate(window, shifts, 1, dtype, ROWS, dt_ref)[0]
+        tot = _accumulate(window, shifts, dof, dtype, ROWS, dt_ref)
 
-        # mirror terms: u = D_c ⊙ x (aligned block), forward-shifted by
-        # +c into the ring (static offsets; lane roll with row carry)
-        x0 = window(0, 0)
+        # mirror terms: u_b = sum_a D_c[a,b] ⊙ x_a (aligned block,
+        # transposed), forward-shifted by +c into field b's ring
+        # (static offsets; lane roll with row carry)
+        x0 = [window(a, 0) for a in range(dof)]
         lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
         for ku in range(1, Ku):
             c = int(shifts[ku])
             q, m = divmod(c, LANES)
-            u = dt_ref[ku] * x0
-            if m == 0:
-                ring[q:q + ROWS, :] = ring[q:q + ROWS, :] + u
-            else:
-                v = pltpu.roll(u, jnp.int32(m), 1)
-                ring[q:q + ROWS, :] = (
-                    ring[q:q + ROWS, :] + jnp.where(lane >= m, v, 0.0)
-                )
-                ring[q + 1:q + 1 + ROWS, :] = (
-                    ring[q + 1:q + 1 + ROWS, :]
-                    + jnp.where(lane < m, v, 0.0)
-                )
+            for b in range(dof):
+                u = dt_ref[(ku * dof + 0) * dof + b] * x0[0]
+                for a in range(1, dof):
+                    u = u + dt_ref[(ku * dof + a) * dof + b] * x0[a]
+                r0 = b * RING
+                if m == 0:
+                    ring[r0 + q:r0 + q + ROWS, :] = (
+                        ring[r0 + q:r0 + q + ROWS, :] + u
+                    )
+                else:
+                    v = pltpu.roll(u, jnp.int32(m), 1)
+                    ring[r0 + q:r0 + q + ROWS, :] = (
+                        ring[r0 + q:r0 + q + ROWS, :]
+                        + jnp.where(lane >= m, v, 0.0)
+                    )
+                    ring[r0 + q + 1:r0 + q + 1 + ROWS, :] = (
+                        ring[r0 + q + 1:r0 + q + 1 + ROWS, :]
+                        + jnp.where(lane < m, v, 0.0)
+                    )
 
-        # emit: direct + matured ring rows, then slide the ring
-        y_ref[0, :, :] = tot + ring[0:ROWS, :]
-        tail = ring[ROWS:RING, :]
-        ring[0:RING - ROWS, :] = tail
-        ring[RING - ROWS:RING, :] = jnp.zeros((ROWS, LANES), dtype)
+        # emit: direct + matured ring rows, then slide each field ring
+        y_ref[:, :, :] = jnp.stack(
+            [tot[b] + ring[b * RING:b * RING + ROWS, :] for b in range(dof)],
+            axis=0,
+        )
+        for b in range(dof):
+            r0 = b * RING
+            tail = ring[r0 + ROWS:r0 + RING, :]
+            ring[r0:r0 + RING - ROWS, :] = tail
+            ring[r0 + RING - ROWS:r0 + RING, :] = jnp.zeros(
+                (ROWS, LANES), dtype
+            )
 
     kwargs = {}
     if not interpret:
@@ -499,23 +521,23 @@ def _flat_spmv_sym(DTu, xb, *, shifts, guard, rows, interpret=False):
         )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, M, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((dof, M, LANES), dtype),
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays off-chip
             pl.BlockSpec(
-                (Ku, ROWS, LANES),
+                (Ku * dof * dof, ROWS, LANES),
                 lambda i: (jnp.int32(0), i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
+            (dof, ROWS, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2 * WIN, LANES), dtype),
-            pltpu.VMEM((RING, LANES), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2 * dof * WIN, LANES), dtype),
+            pltpu.VMEM((dof * RING, LANES), dtype),
+            pltpu.SemaphoreType.DMA((2, dof)),
         ],
         interpret=interpret,
         **kwargs,
@@ -541,6 +563,7 @@ class PallasStencilOperator:
             interpret = jax.default_backend() not in ("tpu", "axon")
         self.interpret = interpret
         dtype = A.data.dtype if A is not None else dtype
+        self.dtype = dtype
         itemsize = jnp.dtype(dtype).itemsize
         self.align = align
         # per-spatial-axis (lo, hi) grid pads: explicit (the shard_map
@@ -576,6 +599,25 @@ class PallasStencilOperator:
             A.data.reshape(tuple(N[::-1]) + (K * dof * dof,))
         ) if A is not None else None  # else supplied via from_planes
 
+    def _setup_sym(self):
+        """Re-plan this operator for the mirrored-slot kernel: only the
+        ``Ku·dof²`` upper planes are stored AND streamed."""
+        st = self.st
+        if any(st.periodic):
+            raise ValueError("sym kernel requires open axes")
+        Ku = (st.K + 1) // 2
+        plan = _plan(st, jnp.dtype(self.dtype).itemsize,
+                     pads=self.pads, planes=Ku * st.dof * st.dof)
+        kind, r, G, M, next_ = plan
+        self.rows = r
+        self.G = -(-G // 8) * 8
+        self.Mp = math.ceil(self.M / self.rows) * self.rows
+        self.kind = "sym"
+        shifts_all = _flat_shifts(st, pads=self.pads)
+        self.shifts_u = tuple(int(v) for v in shifts_all[st.diag_slot:])
+        if self.shifts_u[0] != 0 or any(c < 0 for c in self.shifts_u):
+            raise ValueError("upper-slot shifts must be non-negative")
+
     @classmethod
     def from_symmetric(cls, S, interpret=None):
         """Pack a :class:`~petiga_tpu.sparse.stencil.SymmetricStencilMatrix`
@@ -583,33 +625,39 @@ class PallasStencilOperator:
         ``Ku = (K+1)//2`` upper planes are stored AND streamed — the
         solve-time operator memory and HBM traffic are both halved,
         matching the reference's SBAIJ MatMult
-        (petigamat.c:400-405, 493-495).  dof = 1, open axes."""
+        (petigamat.c:400-405, 493-495).  Any dof, open axes (the mirror
+        applies the transposed dof×dof block)."""
         st = S.stencil
-        if st.dof != 1:
-            raise ValueError("sym kernel currently supports dof=1")
-        if any(st.periodic):
-            raise ValueError("sym kernel requires open axes")
         op = cls(None, interpret, stencil=st, dtype=S.data.dtype)
         if not op.ok:
             raise ValueError("Pallas layout unsupported for this stencil")
+        op._setup_sym()
         Ku = S.Ku
-        # re-plan with Ku planes (double headroom per row), forced hbm
-        plan = _plan(st, jnp.dtype(S.data.dtype).itemsize, pads=op.pads,
-                     planes=Ku)
-        kind, r, G, M, next_ = plan
-        op.rows = r
-        op.G = -(-G // 8) * 8
-        op.Mp = math.ceil(op.M / op.rows) * op.rows
-        op.kind = "sym"
-        shifts_all = _flat_shifts(st, pads=op.pads)
-        op.shifts_u = tuple(int(v) for v in shifts_all[st.diag_slot:])
-        if op.shifts_u[0] != 0 or any(c < 0 for c in op.shifts_u):
-            raise ValueError("upper-slot shifts must be non-negative")
         N = st.node_shape
         op.DT = op.pack_planes(
-            S.data.reshape(tuple(N[::-1]) + (Ku,)), planes=Ku
+            S.data.reshape(tuple(N[::-1]) + (Ku * st.dof * st.dof,)),
+            planes=Ku * st.dof * st.dof,
         )
         op.A = S  # diagonal/fallback surface
+        return op
+
+    @classmethod
+    def from_planes_symmetric(cls, stencil, DTu, align, interpret=None):
+        """Zero-copy symmetric construction from pre-packed upper-slot
+        planes (Ku·dof², M, 128) on the alignment-padded grid — the path
+        symmetric plane-direct assembly uses so the half-storage
+        operator is never expanded (256³ p=2: 4.3 GB instead of
+        8.6 GB)."""
+        op = cls(None, interpret, stencil=stencil, align=align,
+                 dtype=DTu.dtype)
+        if not op.ok:
+            raise ValueError("Pallas layout unsupported for this stencil")
+        op._setup_sym()
+        Ku = (stencil.K + 1) // 2
+        want = (Ku * stencil.dof**2, op.M, LANES)
+        if DTu.shape != want:
+            raise ValueError(f"plane shape {DTu.shape} != {want}")
+        op.DT = DTu
         return op
 
     @classmethod
@@ -735,7 +783,7 @@ class PallasStencilOperator:
     def _kernel(self, DT, xb):
         if self.kind == "sym":
             return _flat_spmv_sym(
-                DT, xb, shifts=self.shifts_u, guard=self.G,
+                DT, xb, shifts=self.shifts_u, dof=self.dof, guard=self.G,
                 rows=self.rows, interpret=self.interpret,
             )
         fn = _flat_spmv if self.kind == "vmem" else _flat_spmv_hbm
@@ -790,11 +838,13 @@ class PallasStencilOperator:
 
     def diag_from_planes(self):
         """Scalar diagonal recovered from the packed planes (nnodes,
-        dof) — for ``from_planes`` operators with no StencilMatrix."""
+        dof) — for ``from_planes`` operators with no StencilMatrix.
+        Symmetric storage keeps the diagonal slot first (ku = 0)."""
         s = self.st
+        dslot = 0 if self.kind == "sym" else s.diag_slot
         cols = []
         for a in range(self.dof):
-            plane = self.DT[(s.diag_slot * self.dof + a) * self.dof + a]
+            plane = self.DT[(dslot * self.dof + a) * self.dof + a]
             cols.append(plane.reshape(-1)[: self.next])
         y = jnp.stack(cols, axis=-1)  # (next, dof)
         return self._unpack_from_ext(y)
@@ -832,11 +882,12 @@ class PallasStencilOperator:
             return self.A.diagonal()
         s = self.st
         dof = self.dof
+        dslot = 0 if self.kind == "sym" else s.diag_slot
         blocks = []
         for a in range(dof):
             row = []
             for b in range(dof):
-                plane = self.DT[(s.diag_slot * dof + a) * dof + b]
+                plane = self.DT[(dslot * dof + a) * dof + b]
                 row.append(plane.reshape(-1)[: self.next])
             blocks.append(jnp.stack(row, axis=-1))
         y = jnp.stack(blocks, axis=-2)  # (next, dof, dof)

@@ -494,12 +494,14 @@ class SymmetricStencilMatrix:
     def fast_operator(self, interpret=None):
         """Pallas operator for the symmetric storage.
 
-        dof = 1 on open axes: the mirrored-slot kernel streams ONLY the
+        Open axes (any dof): the mirrored-slot kernel streams ONLY the
         stored upper planes (direct read at +c, transposed ring-
         accumulated scatter at -c) — solve-time memory AND HBM traffic
         are both half the full-storage kernel's, like the reference's
-        SBAIJ MatMult (petigamat.c:493-495).  Other layouts fall back to
-        transient expansion (storage stays half at rest)."""
+        SBAIJ MatMult (petigamat.c:493-495; dof>1 mirrors the
+        transposed dof×dof block like MatMult_SeqSBAIJ).  Other layouts
+        fall back to transient expansion (storage stays half at
+        rest)."""
         from .pallas_spmv import PallasStencilOperator, supported
 
         s = self.stencil
@@ -508,8 +510,7 @@ class SymmetricStencilMatrix:
         ):
             return self
         if (
-            s.dof == 1
-            and not any(s.periodic)
+            not any(s.periodic)
             and supported(s, jnp.dtype(self.data.dtype).itemsize)
         ):
             return PallasStencilOperator.from_symmetric(

@@ -115,3 +115,38 @@ def test_symmetric_mirrored_slot_kernel():
             np.testing.assert_allclose(
                 np.asarray(res.x), np.asarray(ref.x), atol=1e-9
             )
+
+
+def test_symmetric_mirrored_slot_kernel_dof():
+    """dof > 1 mirrored-slot kernel: the mirror applies the transposed
+    dof×dof block (the SBAIJ/BAIJ analog, petigamat.c:493-500) — matvec
+    parity with full storage for an elasticity-style coupled system."""
+    from petiga_tpu.sparse.pallas_spmv import PallasStencilOperator
+
+    for dim, dof, nel, p in ((2, 2, 6, 1), (3, 3, 4, 1)):
+        sp = Space(
+            [Axis.uniform(p=p, nel=nel) for _ in range(dim)],
+            dof=dof, dtype=F64,
+        )
+        C = np.eye(dof) * 2.0 + 0.25  # SPD coupling block
+
+        def bform(pt, ctx, C=jnp.asarray(C), dof=dof):
+            K = jnp.outer(pt.shape0, pt.shape0) + pt.shape1 @ pt.shape1.T
+            return (
+                jnp.einsum("ij,ab->iajb", K, C).reshape(
+                    sp.nen * dof, sp.nen * dof
+                ),
+                jnp.zeros(sp.nen * dof),
+            )
+
+        A, _ = assemble_system(sp, bform, apply_fix=False)
+        S = SymmetricStencilMatrix.from_full(A)
+        op = PallasStencilOperator.from_symmetric(S, interpret=True)
+        assert op.kind == "sym"
+        assert op.DT.shape[0] == S.Ku * dof * dof
+        x = jnp.asarray(
+            np.random.default_rng(dim).normal(size=(sp.nnodes, dof))
+        )
+        np.testing.assert_allclose(
+            np.asarray(op.matvec(x)), np.asarray(A.matvec(x)), atol=1e-12
+        )
