@@ -217,7 +217,9 @@ def _postfix_planes_fn(st, meta):
     plane layout.  ``meta`` = (Ne, gpads, M, shifts, dof, kind, rows, G,
     interpret) — hashable static layout; one trace/compile per layout,
     DT donated so the fix stays single-copy in HBM (256³: 8.6 GB)."""
-    from ..sparse.pallas_spmv import LANES, _flat_spmv, _flat_spmv_hbm
+    from ..sparse.pallas_spmv import (
+        LANES, _flat_spmv, _flat_spmv_hbm, _flat_spmv_sym,
+    )
 
     key = ("planes", st, meta)
     if key in _POSTFIX_CACHE:
@@ -228,9 +230,14 @@ def _postfix_planes_fn(st, meta):
     offs = st.slot_offsets()
     nflat = int(np.prod(Ne))
     Mp = -(-M // rows) * rows
-    kernel = _flat_spmv if kind == "vmem" else _flat_spmv_hbm
+    # symmetric (upper-slot) storage: the fix masks only the stored
+    # slots (row OR column fixed zeroes the entry — same keep_a·keep_b
+    # product, symmetric by construction) and the lift matvec runs the
+    # mirrored-slot kernel
+    sym = kind == "sym"
+    slot_list = list(range(st.diag_slot, K)) if sym else list(range(K))
     wins = []
-    for s in range(K):
+    for s in slot_list:
         sl = []
         for g in range(dim):
             d = dim - 1 - g
@@ -256,8 +263,13 @@ def _postfix_planes_fn(st, meta):
         xb = jnp.pad(
             xT, ((0, 0), (G * LANES, (G + Mp) * LANES - nflat))
         ).reshape(-1, LANES)
-        y = kernel(DT, xb, shifts=shifts, dof=dof, guard=G, rows=rows,
-                   interpret=interpret)
+        if sym:
+            y = _flat_spmv_sym(DT, xb, shifts=shifts, dof=dof, guard=G,
+                               rows=rows, interpret=interpret)
+        else:
+            kernel = _flat_spmv if kind == "vmem" else _flat_spmv_hbm
+            y = kernel(DT, xb, shifts=shifts, dof=dof, guard=G,
+                       rows=rows, interpret=interpret)
         y = y.reshape(dof, -1)[:, :nflat].T.reshape(
             tuple(Ne[::-1]) + (dof,))
         sl = tuple(
@@ -276,16 +288,17 @@ def _postfix_planes_fn(st, meta):
             (mult[:, None] * mask).reshape(tuple(N[::-1]) + (dof,)),
             list(gpads) + [(0, 0)],
         )
-        for s in range(K):
-            win = keep_p[wins[s]]
+        for si, s in enumerate(slot_list):
+            win = keep_p[wins[si]]
             for a in range(dof):
                 ka = flat(keep_e[..., a])
                 for bb in range(dof):
                     kb = flat(win[..., bb])
-                    i = (s * dof + a) * dof + bb
+                    i = (si * dof + a) * dof + bb
                     DT = DT.at[i].set(DT[i] * ka * kb)
+        dslot = 0 if sym else st.diag_slot
         for a in range(dof):
-            i = (st.diag_slot * dof + a) * dof + a
+            i = (dslot * dof + a) * dof + a
             DT = DT.at[i].set(DT[i] + flat(dadd_e[..., a]))
         return DT, b2
 
@@ -381,13 +394,20 @@ def dirichlet_post_fix(space, A, b):
     mult = jnp.asarray(_node_multiplicity(space), space.dtype)
 
     if isinstance(A, PallasStencilOperator):
-        meta = (A.Ne, tuple(A._gpads), A.M, A.shifts, A.dof, A.kind,
+        sym = A.kind == "sym"
+        meta = (A.Ne, tuple(A._gpads), A.M,
+                A.shifts_u if sym else A.shifts, A.dof, A.kind,
                 A.rows, A.G, A.interpret)
         fn = _postfix_planes_fn(st, meta)
         DT2, b2 = fn(A.DT, b, mask_b, vals, mult)
-        A2 = PallasStencilOperator.from_planes(
-            st, DT2, A.align, interpret=A.interpret
-        )
+        if sym:
+            A2 = PallasStencilOperator.from_planes_symmetric(
+                st, DT2, A.align, interpret=A.interpret
+            )
+        else:
+            A2 = PallasStencilOperator.from_planes(
+                st, DT2, A.align, interpret=A.interpret
+            )
         return A2, b2
 
     fn = _postfix_node_fn(st)

@@ -183,10 +183,12 @@ def _dimension_numbers(dim):
     }[dim]
 
 
-def _conv_kernel(space, chlist, dtype, reps):
+def _conv_kernel(space, chlist, dtype, reps, slots=None):
     """Static conv kernel (taps_rev..., nch*Q, K) from the 1-D tables of
     representative elements ``reps[d]`` (interior rep or a boundary
-    layer); taps pre-flipped for lax's correlation convention."""
+    layer); taps pre-flipped for lax's correlation convention.
+    ``slots`` restricts the output channels to a slot subset (the
+    symmetric upper-slot storage)."""
     dim = space.dim
     p = space.degrees
     nq = [space.tabs[d].nqp for d in range(dim)]
@@ -233,7 +235,46 @@ def _conv_kernel(space, chlist, dtype, reps):
     ker = ker.reshape((Q * len(chlist),) + tuple(nen_d[::-1]) + (K,))
     ker = np.flip(ker, axis=tuple(range(1, 1 + dim)))  # correlation -> conv
     ker = np.moveaxis(ker, 0, dim)  # (taps_rev..., Q*nch, K)
+    if slots is not None:
+        ker = ker[..., list(slots)]
     return jnp.asarray(ker, dtype)
+
+
+def _axis_factor_mats(space, dtype):
+    """Per-axis assembled 1-D stencil factor matrices
+    ``A[d][da][db]`` of shape (N_d, 2p_d+1): the exact 1-D Galerkin
+    integrals ``∫ D^{da} N_r D^{db} N_{r+s-p}`` accumulated over
+    elements (periodic rows wrap).  Constant-coefficient identity-map
+    forms factorize exactly over these — the dim-D planes are sums of
+    per-axis outer products (see :func:`assemble_coefficient_planes`'s
+    constant fast path)."""
+    out = []
+    for d in range(space.dim):
+        t = space.tabs[d]
+        N = space.node_shape[d]
+        p = t.p
+        sK = 2 * p + 1
+        w = np.asarray(t.weight * t.detJac[:, None])  # (nel, q)
+        V = np.asarray(t.value[:, :, :2, :])  # (nel, q, 2, p+1)
+        off = np.asarray(t.offset)
+        rows = off[:, None] + np.arange(p + 1)[None, :]  # (nel, p+1)
+        if space.periodic[d]:
+            rows = rows % N
+        slot = (np.arange(p + 1)[None, :] - np.arange(p + 1)[:, None]
+                + p)  # (a, b) -> b - a + p
+        ridx = np.broadcast_to(rows[:, :, None], (t.nel, p + 1, p + 1))
+        sidx = np.broadcast_to(slot[None], (t.nel, p + 1, p + 1))
+        mats = [[None, None], [None, None]]
+        for da in (0, 1):
+            for db in (0, 1):
+                M = np.einsum(
+                    "eq,eqa,eqb->eab", w, V[:, :, da, :], V[:, :, db, :]
+                )
+                A = np.zeros((N, sK))
+                np.add.at(A, (ridx, sidx), M)
+                mats[da][db] = jnp.asarray(A, dtype)
+        out.append(mats)
+    return out
 
 
 def _forcing_kernel(space, dtype, reps):
@@ -516,6 +557,8 @@ def assemble_coefficient_planes(
     row_aligned: Optional[bool] = None,
     donate_loop: bool = False,
     apply_fix: bool = True,
+    symmetric: bool = False,
+    const_outer: bool = True,
     interpret: Optional[bool] = None,
 ):
     """Assemble the system for a coefficient-form bilinear operator as
@@ -523,20 +566,37 @@ def assemble_coefficient_planes(
     ``(op, b)`` exactly like :func:`assemble_system_planes` (same
     Dirichlet post-fix, same Pallas operator).
 
-    Restrictions: open regular unit-step axes, identity map, dof = 1,
-    order-1 channels.  Everything else falls back to the pointwise path
+    ``symmetric=True`` (open axes; the caller asserts the form is
+    symmetric, like the reference's SBAIJ option petigamat.c:493-495)
+    assembles ONLY the ``Ku = (K+1)//2`` upper slot planes — half the
+    assembly compute and half the operator memory (256³ p=2: 4.3 GB
+    instead of 8.6 GB) — and returns the mirrored-slot Pallas operator.
+
+    Spatially-constant channel specs on the identity map skip the
+    convolution entirely (``const_outer``): the dim-D planes factorize
+    EXACTLY into sums of per-axis outer products of assembled 1-D
+    stencil matrices (``planes = Σ_ch c_ch · Π_d A^{(d)}``, any knot
+    vector, open or periodic), so the matrix write runs at pure
+    HBM-store speed; only the load vector still convolves.
+
+    Periodic unit-step axes are supported (petigaaxis.c:419-452 wrap
+    semantics): every element shares the interior basis type, so the
+    whole grid is one conv box and the node-window overhang folds back
+    circularly — no boundary-type boxes at all.
+
+    Restrictions: regular unit-step axes, order-1 channels,
+    dim == nsd.  Everything else falls back to the pointwise path
     (use ``coefficient_pointwise_form(coef, forcing)`` with
     ``assemble_system_planes``).
     """
     from ..sparse.pallas_spmv import (
         LANES,
         PallasStencilOperator,
+        _default_pads,
         alignment_pads,
     )
 
     st = stencil_of(space)
-    if any(space.periodic):
-        raise ValueError("conv assembly requires open axes")
     if not fastpath.is_unit_step(space):
         raise ValueError("conv assembly requires a regular unit-step space")
     geom = space.has_geometry or space.is_rational
@@ -545,6 +605,8 @@ def assemble_coefficient_planes(
             "conv assembly requires dim == nsd geometry (manifolds fall "
             "back to the pointwise path)"
         )
+    if symmetric and any(space.periodic):
+        raise ValueError("symmetric conv assembly requires open axes")
     profiling.count("IGA_FormSystem", profiling.system_flops(space))
 
     dim = space.dim
@@ -553,22 +615,27 @@ def assemble_coefficient_planes(
     p = space.degrees
     eshape = space.elem_shape
     N = space.node_shape
-    # row-aligned mode (3-D, dof=1): the plane array lives in the
-    # kernel's (K, M, 128) layout throughout — mandatory once the planes
-    # are a significant fraction of HBM (grid-shaped materialization
-    # lane-pads the minor spatial dim 1.5x and copies; OOM at 256³).
-    # Conv-chunk results land through grid-shaped VIEWS of static z-row
-    # windows.
-    est = st.K * dof * dof * st.nnodes * jnp.dtype(dt).itemsize
+    K = st.K
+    # symmetric storage: only the upper slots (diag onward) are built
+    slots = tuple(range(st.diag_slot, K)) if symmetric else tuple(range(K))
+    Keff = len(slots)
+    # row-aligned mode (3-D, dof=1, open): the plane array lives in the
+    # kernel's (Keff, M, 128) layout throughout — mandatory once the
+    # planes are a significant fraction of HBM (grid-shaped
+    # materialization lane-pads the minor spatial dim 1.5x and copies;
+    # OOM at 256³).  Conv-chunk results land through grid-shaped VIEWS
+    # of static z-row windows.
+    est = Keff * dof * dof * st.nnodes * jnp.dtype(dt).itemsize
     if row_aligned is None:
         row_aligned = dim == 3 and est > 2 * 2**30
     row_aligned = (
         bool(row_aligned) and dim == 3 and dof == 1
-        and not space.is_rational
+        and not space.is_rational and not any(space.periodic)
     )
     align = alignment_pads(st, row_aligned=row_aligned)
-    Ne = tuple(n + a for n, a in zip(N, align))
-    K = st.K
+    pads = _default_pads(st, align)  # (lo, hi) per axis: periodic halo
+    los = tuple(lo for lo, _ in pads)
+    Ne = tuple(n + lo + hi for n, (lo, hi) in zip(N, pads))
     rpz = int(np.prod(Ne[:-1])) // 128 if dim == 3 else None
 
     # channel list: probe the spec once at a representative point.  A
@@ -632,6 +699,54 @@ def assemble_coefficient_planes(
                         keep.append((k, l))
             chmap[(r, c)] = tuple(keep)
 
+    # constant-coefficient fast path: the matrix planes factorize
+    # exactly into per-axis outer products (see docstring) — skip every
+    # matrix convolution (empty channel lists route the boxes to
+    # forcing-only work) and write the planes directly.
+    use_outer = bool(const_outer) and all_const
+    if use_outer:
+        chmap = {rc: () for rc in chmap}
+        axis_facs = _axis_factor_mats(space, dt)
+        # per-axis slot components of the selected slots (axis-0 fastest)
+        scomp = []
+        rem = np.asarray(slots)
+        for d in range(dim):
+            sKd = 2 * p[d] + 1
+            scomp.append(rem % sKd)
+            rem = rem // sKd
+
+        def outer_planes(run_ctx, facs):
+            """(Keff, dof², Ne_rev...) planes by channel-weighted outer
+            products of the 1-D factor rows — pure broadcast FMAs, one
+            streaming write of the output."""
+            chv = coef(jnp.zeros((1, dim), dt), run_ctx)
+            grid_sh = tuple(Ne[::-1])
+            P = None
+            for (i, j) in chlist:
+                val = jnp.asarray(chv[(i, j)], dt).reshape(-1)  # dof² or 1
+                fgs = []
+                for g in range(dim):
+                    d = dim - 1 - g
+                    F = facs[d][int(i == d + 1)][int(j == d + 1)]
+                    Fk = F[:, scomp[d]].T  # (Keff, N_d)
+                    Fk = jnp.pad(
+                        Fk,
+                        ((0, 0), (los[d], Ne[d] - N[d] - los[d])),
+                    )
+                    fgs.append(Fk)
+                t0 = fgs[0]
+                for g in range(1, dim):
+                    t0 = t0[..., None] * fgs[g].reshape(
+                        (Keff,) + (1,) * g + (Ne[dim - 1 - g],)
+                    )
+                # t0: (Keff, Ne_rev...); weight by the channel block
+                term = (
+                    val.reshape((1, dof * dof) + (1,) * dim)
+                    * t0[:, None]
+                )
+                P = term if P is None else P + term
+            return P
+
     # type-combo boxes: large ones (the interior block + whole boundary
     # faces) run as convolutions with their own constant kernels; small
     # ones (edges/corners — O(p²·nel) elements) take the generic
@@ -641,7 +756,7 @@ def assemble_coefficient_planes(
         # flat planes; cap every box's z-extent so the view stays ~1 GB
         zcap = max(
             1,
-            (2**30) // max(rpz * 128 * K * jnp.dtype(dt).itemsize, 1)
+            (2**30) // max(rpz * 128 * Keff * jnp.dtype(dt).itemsize, 1)
             - max(p),
         )
     else:
@@ -671,18 +786,29 @@ def assemble_coefficient_planes(
             for sb in _split_box(blo, bext, shell_chunk):
                 gen_boxes.extend(_zsplit_gen(*sb))
 
+    if use_outer and forcing is None:
+        conv_boxes = []
+        gen_boxes = []
     kers = {}
     kerfs = {}
     for _, _, reps in conv_boxes:
         for rc, chl in chmap.items():
             if chl and (reps, chl) not in kers:
-                kers[(reps, chl)] = _conv_kernel(space, list(chl), dt, reps)
+                kers[(reps, chl)] = _conv_kernel(
+                    space, list(chl), dt, reps, slots=slots
+                )
         if forcing is not None and reps not in kerfs:
             kerfs[reps] = _forcing_kernel(space, dt, reps)
     dn = _dimension_numbers(dim)
     pad = [(p[d], p[d]) for d in range(dim)][::-1]
 
-    form = coefficient_pointwise_form(coef, forcing)
+    if use_outer:
+        # gen (edge/corner) boxes only carry the load vector now — the
+        # outer-product write covers the matrix everywhere exactly
+        form = coefficient_pointwise_form(lambda x, c_: {(0, 0): 0.0},
+                                          forcing)
+    else:
+        form = coefficient_pointwise_form(coef, forcing)
 
     # slowest-axis chunking of conv boxes bounds the W tensor (~256 MB);
     # the constant-coefficient no-forcing case needs none (W is a pure
@@ -753,24 +879,78 @@ def assemble_coefficient_planes(
             Gg = jnp.asarray(Gx, dt)
     geo_args = (Gg, wg)
 
+    # per-GRID-axis layout metadata for the periodic wrap-fold: node
+    # windows on a periodic axis overhang the node count by up to p and
+    # fold back circularly (petigaaxis.c wrap semantics)
+    per_g = [space.periodic[dim - 1 - g] for g in range(dim)]
+    N_g = [N[dim - 1 - g] for g in range(dim)]
+    los_g = [los[dim - 1 - g] for g in range(dim)]
+
+    def _fold_pieces(node_sl, lo_off):
+        """Split a node-coordinate window into (dest, src) slice pieces:
+        dest in the destination array's coordinates (node + lo_off per
+        axis), periodic overhang wrapped to the axis start.  At most one
+        split per periodic axis (window length ≤ N + p < 2N)."""
+        pieces = [((), ())]
+        for g, s in enumerate(node_sl):
+            L = s.stop - s.start
+            lo = lo_off[g]
+            new = []
+            for dest, src in pieces:
+                if per_g[g] and s.stop > N_g[g]:
+                    core = N_g[g] - s.start
+                    new.append((
+                        dest + (slice(lo + s.start, lo + N_g[g]),),
+                        src + (slice(0, core),),
+                    ))
+                    new.append((
+                        dest + (slice(lo, lo + L - core),),
+                        src + (slice(core, L),),
+                    ))
+                else:
+                    new.append((
+                        dest + (slice(lo + s.start, lo + s.stop),),
+                        src + (slice(0, L),),
+                    ))
+            pieces = new
+        return pieces
+
+    any_per = any(space.periodic)
+
     def add_planes(Pg, contrib, node_sl, rc=None):
-        """Add a contribution into the planes at a static node region.
-        ``rc``: field-pair index for a (K, zw, wy, wx) conv result;
-        ``None`` for a full (K, dof², zw, wy, wx) generic-box result.
-        Row-aligned mode (dof=1) goes through a grid-shaped view of the
-        whole-row z-window."""
+        """Add a contribution into the planes at a static node region
+        (node coordinates; shifted by the periodic-halo offset and
+        wrap-folded for periodic axes).  ``rc``: field-pair index for a
+        (Keff, zw, wy, wx) conv result; ``None`` for a full
+        (Keff, dof², zw, wy, wx) generic-box result.  Row-aligned mode
+        (dof=1, open) goes through a grid-shaped view of the whole-row
+        z-window."""
         if not row_aligned:
             sel = (slice(None), slice(None) if rc is None else rc)
-            return Pg.at[sel + node_sl].add(contrib)
+            nsrc = (slice(None),) if rc is not None else (
+                slice(None), slice(None))
+            for dest, src in _fold_pieces(node_sl, los_g):
+                Pg = Pg.at[sel + dest].add(contrib[nsrc + src])
+            return Pg
         if rc is None:
             contrib = contrib[:, 0]
         zsl = node_sl[0]
         r0, r1 = zsl.start * rpz, zsl.stop * rpz
         win = Pg[:, r0:r1, :].reshape(
-            K, zsl.stop - zsl.start, Ne[1], Ne[0]
+            Keff, zsl.stop - zsl.start, Ne[1], Ne[0]
         )
         win = win.at[(slice(None), slice(None)) + node_sl[1:]].add(contrib)
-        return Pg.at[:, r0:r1, :].set(win.reshape(K, r1 - r0, 128))
+        return Pg.at[:, r0:r1, :].set(win.reshape(Keff, r1 - r0, 128))
+
+    def add_load(bg, contrib, node_sl):
+        """Wrap-folded add of a load contribution (node grid)."""
+        if not any_per:
+            return bg.at[node_sl + (slice(None),)].add(contrib)
+        for dest, src in _fold_pieces(node_sl, [0] * dim):
+            bg = bg.at[dest + (slice(None),)].add(
+                contrib[src + (slice(None),)]
+            )
+        return bg
 
     d1 = dim + 1
 
@@ -936,7 +1116,7 @@ def assemble_coefficient_planes(
                     offs = st.slot_offsets()
                     contrib = jnp.stack(
                         [
-                            contrib[s] * (
+                            contrib[si] * (
                                 wwin * _shifted_weight_window(
                                     wgr, node_sl,
                                     tuple(int(offs[s, dim - 1 - g])
@@ -944,7 +1124,7 @@ def assemble_coefficient_planes(
                                     N_rev,
                                 )
                             )
-                            for s in range(K)
+                            for si, s in enumerate(slots)
                         ]
                     )
                 Pg = add_planes(Pg, contrib, node_sl, rc=r * dof + c)
@@ -969,7 +1149,10 @@ def assemble_coefficient_planes(
                         tuple(N[::-1]),
                     )
                     outf = outf * wwin[..., None]
-                bg = bg.at[node_sl + (slice(r, r + 1),)].add(outf)
+                for dest, src in _fold_pieces(node_sl, [0] * dim):
+                    bg = bg.at[dest + (slice(r, r + 1),)].add(
+                        outf[src + (slice(None),)]
+                    )
         return Pg, bg
 
     def gen_box(Pg, bg, run_ctx, ids, blo, bext):
@@ -979,8 +1162,11 @@ def assemble_coefficient_planes(
         Ke, Fe, _ = element_KF(ids, valid, None, form)
         contrib, Gv = _box_contrib(space, Ke, Fe, bext)
         node_sl = _box_node_slices(space, blo, bext)
-        Pg = add_planes(Pg, contrib, node_sl)
-        bg = bg.at[node_sl + (slice(None),)].add(Gv)
+        if not use_outer:
+            if symmetric:
+                contrib = contrib[np.asarray(slots)]
+            Pg = add_planes(Pg, contrib, node_sl)
+        bg = add_load(bg, Gv, node_sl)
         return Pg, bg
 
     conv_tasks = []
@@ -992,11 +1178,17 @@ def assemble_coefficient_planes(
             bext[dim - 1] = zext
             conv_tasks.append((tuple(blo), tuple(bext), reps))
 
-    def zeros_Pb():
-        if row_aligned:
-            Pg = jnp.zeros((K, int(np.prod(Ne)) // 128, 128), dt)
+    def init_Pb(run_ctx=None, facs=None):
+        """Initial (planes, load) accumulators: zeros, or the exact
+        outer-product planes for constant-coefficient specs."""
+        if use_outer:
+            Pg = outer_planes(run_ctx, facs)
+            if row_aligned:
+                Pg = Pg.reshape(Keff, int(np.prod(Ne)) // 128, 128)
+        elif row_aligned:
+            Pg = jnp.zeros((Keff, int(np.prod(Ne)) // 128, 128), dt)
         else:
-            Pg = jnp.zeros((K, dof * dof) + tuple(Ne[::-1]), dt)
+            Pg = jnp.zeros((Keff, dof * dof) + tuple(Ne[::-1]), dt)
         bg = jnp.zeros(tuple(N[::-1]) + (dof,), dt)
         return Pg, bg
 
@@ -1005,7 +1197,7 @@ def assemble_coefficient_planes(
     ckey = (
         "convform", coef, forcing, tuple(chlist),
         tuple(sorted(chmap.items())), chunk_z, shell_chunk,
-        conv_min, row_aligned, dt,
+        conv_min, row_aligned, dt, symmetric, use_outer,
     )
     if donate_loop:
         # At multi-GB plane sizes XLA double-buffers the accumulator
@@ -1035,7 +1227,12 @@ def assemble_coefficient_planes(
                 space._device_cache[key] = fn
             return fn
 
-        Pg, bg = zeros_Pb()
+        init_key = ckey + ("init",)
+        init = space._device_cache.get(init_key)
+        if init is None:
+            init = jax.jit(init_Pb)
+            space._device_cache[init_key] = init
+        Pg, bg = init(ctx, axis_facs) if use_outer else init()
         for blo, bext, reps in conv_tasks:
             Pg, bg = step_fn("conv", (blo, bext, reps))(
                 Pg, bg, ctx, axis_xf, geo_args
@@ -1046,8 +1243,8 @@ def assemble_coefficient_planes(
         # One cached executable per (space, coef structure): ctx flows
         # as a jit ARGUMENT so repeated assemblies with new coefficient
         # values reuse the same program (no recompiles).
-        def run(run_ctx, axis_xf, geo_, gids):
-            Pg, bg = zeros_Pb()
+        def run(run_ctx, axis_xf, geo_, gids, facs):
+            Pg, bg = init_Pb(run_ctx, facs)
             for blo, bext, reps in conv_tasks:
                 Pg, bg = conv_chunk(Pg, bg, run_ctx, axis_xf, geo_,
                                     blo, bext, reps)
@@ -1059,11 +1256,19 @@ def assemble_coefficient_planes(
         if fn is None:
             fn = jax.jit(run)
             space._device_cache[ckey] = fn
-        Pg, bg = fn(ctx, axis_xf, geo_args, gen_ids)
+        Pg, bg = fn(ctx, axis_xf, geo_args, gen_ids,
+                    axis_facs if use_outer else None)
     M = int(np.prod(Ne)) // LANES
-    op = PallasStencilOperator.from_planes(
-        st, Pg.reshape(K * dof * dof, M, LANES), align, interpret=interpret
-    )
+    if symmetric:
+        op = PallasStencilOperator.from_planes_symmetric(
+            st, Pg.reshape(Keff * dof * dof, M, LANES), align,
+            interpret=interpret,
+        )
+    else:
+        op = PallasStencilOperator.from_planes(
+            st, Pg.reshape(Keff * dof * dof, M, LANES), align,
+            interpret=interpret,
+        )
     b = bg.reshape(st.nnodes, dof)
     if apply_fix:
         op, b = dirichlet_post_fix(space, op, b)
