@@ -407,6 +407,29 @@ def _fine_X(space, axis_xf, blo, bext):
     )
 
 
+def _qlayout_X(space, axis_xf, blo, bext):
+    """Quadrature-point coordinates of an element box DIRECTLY in the
+    conv-input layout (E_rev..., q_rev..., dim) — per-axis broadcasts
+    only, no fine-grid materialization and no ``_space_to_depth``
+    transpose (which costs a strided 6-axis copy of the whole W tensor).
+    A trailing reshape of channel stacks built on this layout gives the
+    (E_rev..., Q·nch) conv input for free (C-order: q-major,
+    ch-minor — matching ``_conv_kernel``)."""
+    dim = space.dim
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    target = tuple(bext[::-1]) + tuple(nq[::-1])
+    comps = []
+    for d in range(dim):
+        a = axis_xf[d][blo[d] * nq[d]:(blo[d] + bext[d]) * nq[d]]
+        a = a.reshape(bext[d], nq[d])
+        g = dim - 1 - d
+        sh = [1] * (2 * dim)
+        sh[g] = bext[d]
+        sh[dim + g] = nq[d]
+        comps.append(jnp.broadcast_to(a.reshape(sh), target))
+    return jnp.stack(comps, axis=-1)
+
+
 def _space_to_depth(space, F, bext):
     """(f_rev..., C) fine-grid field -> (E_rev..., Q·C) conv input
     (q-major, C-minor flat channel order, matching ``_conv_kernel``)."""
@@ -1033,7 +1056,9 @@ def assemble_coefficient_planes(
                 meas = meas / W0
             ch = coef(X, run_ctx)
         elif not all_const:
-            X = _fine_X(space, axis_xf, blo, bext)
+            # identity map: evaluate straight in conv-input layout —
+            # no fine-grid materialization, no 6-axis transpose
+            X = _qlayout_X(space, axis_xf, blo, bext)
             ch = coef(X, run_ctx)
         chv = coef(jnp.zeros((1, dim), dt), run_ctx) if (
             any(is_const[c] for c in chlist)
@@ -1096,8 +1121,8 @@ def assemble_coefficient_planes(
                             for cc in chl
                         ],
                         axis=-1,
-                    )  # (f_rev..., nch)
-                    W = _space_to_depth(space, F, bext)
+                    )  # (E_rev..., q_rev..., nch) — qlayout
+                    W = F.reshape(tuple(bext[::-1]) + (-1,))
                 out = jax.lax.conv_general_dilated(
                     W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
                     preferred_element_type=dt,
@@ -1130,14 +1155,17 @@ def assemble_coefficient_planes(
                 Pg = add_planes(Pg, contrib, node_sl, rc=r * dof + c)
         if forcing is not None:
             if X is None:
-                X = _fine_X(space, axis_xf, blo, bext)
+                X = _qlayout_X(space, axis_xf, blo, bext)
             f = jnp.asarray(forcing(X, run_ctx), dt)
             for r in range(dof):
                 fr = f if dof == 1 else f[..., r]
                 if meas is not None:
                     fr = fr * meas
-                Ff = jnp.broadcast_to(fr, X.shape[:-1])[..., None]
-                Wf = _space_to_depth(space, Ff, bext)
+                Ff = jnp.broadcast_to(fr, X.shape[:-1])
+                if geom:  # fine-grid layout (spline-evaluated fields)
+                    Wf = _space_to_depth(space, Ff[..., None], bext)
+                else:  # qlayout: a reshape IS space-to-depth
+                    Wf = Ff.reshape(tuple(bext[::-1]) + (-1,))
                 outf = jax.lax.conv_general_dilated(
                     Wf[None], kerfs[reps], (1,) * dim, pad,
                     dimension_numbers=dn, preferred_element_type=dt,
@@ -1346,11 +1374,11 @@ def assemble_load_vector(space, forcing: Callable, ctx=None, *,
                 bext = list(bext0)
                 blo[dim - 1] = blo0[dim - 1] + zs
                 bext[dim - 1] = zext
-                X = _fine_X(space, axis_xf, blo, bext)
+                X = _qlayout_X(space, axis_xf, blo, bext)
                 Ff = jnp.broadcast_to(
                     jnp.asarray(forcing(X, run_ctx), dt), X.shape[:-1]
-                )[..., None]
-                Wf = _space_to_depth(space, Ff, bext)
+                )
+                Wf = Ff.reshape(tuple(bext[::-1]) + (-1,))
                 outf = jax.lax.conv_general_dilated(
                     Wf[None], kerfs[reps], (1,) * dim, pad,
                     dimension_numbers=dn, preferred_element_type=dt,
