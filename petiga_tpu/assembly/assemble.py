@@ -48,6 +48,22 @@ __all__ = [
 # ----------------------------------------------------------------- utilities
 
 
+
+def _highest(fn):
+    """Trace the wrapped driver under highest matmul precision: the
+    MXU's default single-pass-bf16 f32 matmul contaminates assembly,
+    residuals, and functionals at ~1e-3 relative (the reference is f64
+    end to end; f32 paths must be f32-grade).  Applies at trace time,
+    so user form callbacks evaluated inside are covered too."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
 def stencil_of(space) -> Stencil:
     return Stencil(
         node_shape=space.node_shape,
@@ -415,6 +431,40 @@ def dirichlet_post_fix(space, A, b):
     return StencilMatrix(st, data2), b2
 
 
+def dirichlet_post_fix_homogeneous(space, A, b):
+    """Newton-system Dirichlet fix (FixJacobian semantics,
+    petigaelem.c:1483-1523): rows/cols of fixed dofs zeroed, diagonal =
+    multiplicity, and the rhs (``-R``) zeroed on fixed rows — the update
+    δ is zero there (FixValues already pinned the iterate).  Implemented
+    as :func:`dirichlet_post_fix` with a zero lift."""
+    from ..sparse.stencil import StencilMatrix
+    from ..sparse.pallas_spmv import PallasStencilOperator
+
+    st = A.stencil
+    if not any(
+        space.bc[d][s].value
+        for d in range(space.dim)
+        for s in range(2)
+    ):
+        return A, b
+    mask_b, _ = space.device("dirichlet")
+    vals0 = jnp.zeros_like(mask_b, dtype=b.dtype)
+    mult = jnp.asarray(_node_multiplicity(space), space.dtype)
+    if isinstance(A, PallasStencilOperator):
+        sym = A.kind == "sym"
+        meta = (A.Ne, tuple(A._gpads), A.M,
+                A.shifts_u if sym else A.shifts, A.dof, A.kind,
+                A.rows, A.G, A.interpret)
+        fn = _postfix_planes_fn(st, meta)
+        DT2, b2 = fn(A.DT, b, mask_b, vals0, mult)
+        mk = (PallasStencilOperator.from_planes_symmetric if sym
+              else PallasStencilOperator.from_planes)
+        return mk(st, DT2, A.align, interpret=A.interpret), b2
+    fn = _postfix_node_fn(st)
+    data2, b2 = fn(A.data, b, mask_b, vals0, mult)
+    return StencilMatrix(st, data2), b2
+
+
 def _make_element_KF(space, ctx, order, apply_fix):
     """Per-chunk element (K, F) evaluator shared by the node-major and
     the slot-major (plane-direct) system assemblers.
@@ -427,6 +477,14 @@ def _make_element_KF(space, ctx, order, apply_fix):
 
     @jax.named_scope("IGA_FormSystem")
     def element_KF(ids, valid, face, form):
+        # highest precision: the MXU's default single-pass bf16 matmul
+        # contaminates f32 assembly at ~1e-3 relative (the reference is
+        # f64 end to end; f32 assembly must be f32-grade).  The context
+        # applies at trace time, covering the user form's einsums too.
+        with jax.default_matmul_precision("highest"):
+            return _element_KF_impl(ids, valid, face, form)
+
+    def _element_KF_impl(ids, valid, face, form):
         pb = tabulate_elements(space, ids, order=order, face=face)
         emap = space.device_emap(ids)
         B = ids.shape[0]
@@ -465,6 +523,7 @@ def _make_element_KF(space, ctx, order, apply_fix):
     return element_KF
 
 
+@_highest
 def assemble_system_planes(
     space,
     system: Callable,
@@ -588,6 +647,7 @@ def assemble_system_planes(
     return op, b
 
 
+@_highest
 def assemble_separable_planes(
     space,
     *,
@@ -759,6 +819,7 @@ def assemble_separable_planes(
     return op, b
 
 
+@_highest
 def assemble_system(
     space,
     system: Callable,
@@ -908,6 +969,7 @@ def assemble_system(
     return A, b
 
 
+@_highest
 def assemble_vector(space, vecform, ctx=None, *, order=None, chunk=None):
     """Assemble a load vector from F-only form (IGAComputeVector)."""
     dt = space.dtype
@@ -988,6 +1050,7 @@ def _gather_aux(space, aux, emap):
     return {k: v.reshape(space.nnodes, -1)[emap] for k, v in aux.items()}
 
 
+@_highest
 def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
                       chunk=None, boundary=None):
     """Assemble the residual F(U) (IGAComputeFunction, petigasnes.c:23-80).
@@ -1042,6 +1105,7 @@ def assemble_function(space, function, U, ctx=None, *, aux=None, order=None,
     return F
 
 
+@_highest
 def assemble_jacobian(
     space, function, U, ctx=None, *, jacobian=None, aux=None, order=None,
     chunk=None, boundary=None
@@ -1198,6 +1262,7 @@ def assemble_jacobian(
 # ----------------------------------------------------------- functionals
 
 
+@_highest
 def compute_scalar(space, functional, U=None, ctx=None, *, order=None, chunk=None):
     """Quadrature sum of a scalar functional (IGAComputeScalar,
     petigacomp.c:35-90).  ``functional(pt, Ue, ctx) -> (nsc,)``."""
@@ -1245,6 +1310,7 @@ def _probe_functional(space, functional, Uv, ctx, order):
     return jnp.atleast_1d(functional(pt, Ue, ctx))
 
 
+@_highest
 def compute_error_norm(space, U, exact, k: int = 0, ctx=None, *, order=None,
                        chunk=None):
     """L2 (k=0) or H^k-seminorm (k=1..4) of u - u_exact

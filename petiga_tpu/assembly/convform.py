@@ -582,6 +582,7 @@ def assemble_coefficient_planes(
     apply_fix: bool = True,
     symmetric: bool = False,
     const_outer: bool = True,
+    fields: Optional[dict] = None,
     interpret: Optional[bool] = None,
 ):
     """Assemble the system for a coefficient-form bilinear operator as
@@ -606,6 +607,16 @@ def assemble_coefficient_planes(
     semantics): every element shares the interior basis type, so the
     whole grid is one conv box and the node-window overhang folds back
     circularly — no boundary-type boxes at all.
+
+    ``fields`` maps names to solution-vector-shaped arrays
+    ``(nnodes,)`` (dof = 1); their point values are evaluated
+    sum-factorized on each box's fine grid and passed to ``coef`` as a
+    third argument ``coef(x, ctx, fields)`` — this is how nonlinear
+    Jacobians whose coefficients are pointwise functions of the state
+    (Bratu's ``-λ eᵘ`` reaction term, petigasnes.c:82-139) ride the
+    MXU conv engine per Newton step.  Field arrays enter the cached
+    executable as jit ARGUMENTS: re-assembling each iteration does not
+    recompile.
 
     Restrictions: regular unit-step axes, order-1 channels,
     dim == nsd.  Everything else falls back to the pointwise path
@@ -668,15 +679,23 @@ def assemble_coefficient_planes(
     # probe entries of constant blocks prune that (r, c) pair's channel
     # list (elasticity blocks are mostly zeros); the zero-pattern is
     # part of the executable cache key.
+    if fields is not None and (dof != 1 or geom):
+        raise ValueError("field coefficients: dof=1 identity map only")
+    field_names = tuple(sorted(fields.keys())) if fields else ()
     x0 = np.zeros((1, dim))
-    probe = coef(jnp.asarray(x0, dt), ctx)
+    if fields is not None:
+        fprobe = {k: jnp.zeros((1,), dt) for k in field_names}
+        probe = coef(jnp.asarray(x0, dt), ctx, fprobe)
+    else:
+        probe = coef(jnp.asarray(x0, dt), ctx)
     chlist = sorted(probe.keys())
     for (i, j) in chlist:
         if not (0 <= i <= dim and 0 <= j <= dim):
             raise ValueError(f"channel {(i, j)} out of range (order-1 only)")
     const_shapes = ((), (dof, dof)) if dof > 1 else ((),)
     is_const = {c: np.shape(probe[c]) in const_shapes for c in chlist}
-    all_const = all(is_const.values()) and not geom
+    all_const = (all(is_const.values()) and not geom
+                 and fields is None)
 
     def _block_entry(val, r, c):
         """(r, c) entry of a channel value (scalars pass through for
@@ -882,7 +901,12 @@ def assemble_coefficient_planes(
         jnp.asarray(space.tabs[d].point.reshape(-1), dt)
         for d in range(dim)
     )
-    mats = _fine_basis_mats(space, dt) if geom else None
+    mats = _fine_basis_mats(space, dt) if (geom or fields) else None
+    # field vectors in grid layout — jit arguments, not closure constants
+    fgrids = tuple(
+        jnp.asarray(fields[k], dt).reshape(tuple(N[::-1]) + (1,))
+        for k in field_names
+    ) if fields else ()
     Gg = wg = None
     if geom:
         if space.is_rational:
@@ -1006,7 +1030,7 @@ def assemble_coefficient_planes(
                         S[i][k] = E1[..., k - 1, i - 1]
         return S
 
-    def conv_chunk(Pg, bg, run_ctx, axis_xf, geo, blo, bext, reps):
+    def conv_chunk(Pg, bg, run_ctx, axis_xf, geo, fvals, blo, bext, reps):
         """One conv box chunk accumulated into (Pg, bg): one conv per
         (r, c) field pair (pruned channel lists), sharing the fine-grid
         evaluation.  Under a geometry map the coefficient channels are
@@ -1055,14 +1079,30 @@ def assemble_coefficient_planes(
             if space.is_rational:
                 meas = meas / W0
             ch = coef(X, run_ctx)
+        elif fields is not None:
+            # state-dependent coefficients: fields evaluate on the fine
+            # grid (sum-factorized banded contractions), so X rides the
+            # same layout and W goes through space-to-depth
+            X = _fine_X(space, axis_xf, blo, bext)
+            fe = {
+                k: _fine_field(space, mats, (0,) * dim, fv, blo,
+                               bext)[..., 0]
+                for k, fv in zip(field_names, fvals)
+            }
+            ch = coef(X, run_ctx, fe)
         elif not all_const:
             # identity map: evaluate straight in conv-input layout —
             # no fine-grid materialization, no 6-axis transpose
             X = _qlayout_X(space, axis_xf, blo, bext)
             ch = coef(X, run_ctx)
-        chv = coef(jnp.zeros((1, dim), dt), run_ctx) if (
-            any(is_const[c] for c in chlist)
-        ) else None
+        if any(is_const[c] for c in chlist):
+            if fields is not None:
+                chv = coef(jnp.zeros((1, dim), dt), run_ctx,
+                           {k: jnp.zeros((1,), dt) for k in field_names})
+            else:
+                chv = coef(jnp.zeros((1, dim), dt), run_ctx)
+        else:
+            chv = None
         for r in range(dof):
             for c in range(dof):
                 chl = chmap[(r, c)]
@@ -1121,8 +1161,13 @@ def assemble_coefficient_planes(
                             for cc in chl
                         ],
                         axis=-1,
-                    )  # (E_rev..., q_rev..., nch) — qlayout
-                    W = F.reshape(tuple(bext[::-1]) + (-1,))
+                    )
+                    if fields is not None:
+                        # fine-grid layout (field evaluations)
+                        W = _space_to_depth(space, F, bext)
+                    else:
+                        # qlayout: a reshape IS space-to-depth
+                        W = F.reshape(tuple(bext[::-1]) + (-1,))
                 out = jax.lax.conv_general_dilated(
                     W[None], ker, (1,) * dim, pad, dimension_numbers=dn,
                     preferred_element_type=dt,
@@ -1162,7 +1207,7 @@ def assemble_coefficient_planes(
                 if meas is not None:
                     fr = fr * meas
                 Ff = jnp.broadcast_to(fr, X.shape[:-1])
-                if geom:  # fine-grid layout (spline-evaluated fields)
+                if geom or fields is not None:  # fine-grid layout
                     Wf = _space_to_depth(space, Ff[..., None], bext)
                 else:  # qlayout: a reshape IS space-to-depth
                     Wf = Ff.reshape(tuple(bext[::-1]) + (-1,))
@@ -1183,11 +1228,14 @@ def assemble_coefficient_planes(
                     )
         return Pg, bg
 
-    def gen_box(Pg, bg, run_ctx, ids, blo, bext):
+    def gen_box(Pg, bg, run_ctx, ids, fvals, blo, bext):
         """One small (edge/corner) box through the generic path."""
-        element_KF = _make_element_KF(space, run_ctx, 1, False)
-        valid = jnp.ones((ids.shape[0],), bool)
-        Ke, Fe, _ = element_KF(ids, valid, None, form)
+        if fields is not None:
+            Ke, Fe = _gen_box_fields(run_ctx, ids, fvals)
+        else:
+            element_KF = _make_element_KF(space, run_ctx, 1, False)
+            valid = jnp.ones((ids.shape[0],), bool)
+            Ke, Fe, _ = element_KF(ids, valid, None, form)
         contrib, Gv = _box_contrib(space, Ke, Fe, bext)
         node_sl = _box_node_slices(space, blo, bext)
         if not use_outer:
@@ -1196,6 +1244,44 @@ def assemble_coefficient_planes(
             Pg = add_planes(Pg, contrib, node_sl)
         bg = add_load(bg, Gv, node_sl)
         return Pg, bg
+
+    def _gen_box_fields(run_ctx, ids, fvals):
+        """Generic-box element matrices with state-dependent
+        coefficients: the field closures gather per element and
+        evaluate at the quadrature points (dof = 1)."""
+        from .tabulation import tabulate_elements
+
+        with jax.default_matmul_precision("highest"):
+            pb = tabulate_elements(space, ids, order=1)
+            emap = space.device_emap(ids)  # (B, nen)
+            fe = {
+                k: jnp.einsum(
+                    "bqa,ba->bq", pb.shape[0],
+                    fv.reshape(-1)[emap].astype(dt),
+                )
+                for k, fv in zip(field_names, fvals)
+            }
+            ch = coef(pb.x, run_ctx, fe)
+            D = [pb.shape[0]] + [
+                pb.shape[1][..., d] for d in range(dim)
+            ]
+            Ke = None
+            for (i, j), v in ch.items():
+                wc = pb.weight * jnp.broadcast_to(
+                    jnp.asarray(v, dt), pb.weight.shape
+                )
+                term = jnp.einsum("bq,bqa,bqc->bac", wc, D[i], D[j])
+                Ke = term if Ke is None else Ke + term
+            B = ids.shape[0]
+            if forcing is not None:
+                f = jnp.broadcast_to(
+                    jnp.asarray(forcing(pb.x, run_ctx), dt),
+                    pb.weight.shape,
+                )
+                Fe = jnp.einsum("bq,bqa->ba", pb.weight * f, pb.shape[0])
+            else:
+                Fe = jnp.zeros((B, space.nen), dt)
+            return (Ke[:, :, :, None, None], Fe[:, :, None])
 
     conv_tasks = []
     for blo0, bext0, reps in conv_boxes:
@@ -1225,7 +1311,7 @@ def assemble_coefficient_planes(
     ckey = (
         "convform", coef, forcing, tuple(chlist),
         tuple(sorted(chmap.items())), chunk_z, shell_chunk,
-        conv_min, row_aligned, dt, symmetric, use_outer,
+        conv_min, row_aligned, dt, symmetric, use_outer, field_names,
     )
     if donate_loop:
         # At multi-GB plane sizes XLA double-buffers the accumulator
@@ -1239,16 +1325,16 @@ def assemble_coefficient_planes(
                 if kind == "conv":
                     blo, bext, reps = static
                     fn = jax.jit(
-                        lambda Pg, bg, c_, xf_, geo_: conv_chunk(
-                            Pg, bg, c_, xf_, geo_, blo, bext, reps
+                        lambda Pg, bg, c_, xf_, geo_, fv_: conv_chunk(
+                            Pg, bg, c_, xf_, geo_, fv_, blo, bext, reps
                         ),
                         donate_argnums=(0, 1),
                     )
                 else:
                     blo, bext = static
                     fn = jax.jit(
-                        lambda Pg, bg, c_, ids_: gen_box(
-                            Pg, bg, c_, ids_, blo, bext
+                        lambda Pg, bg, c_, ids_, fv_: gen_box(
+                            Pg, bg, c_, ids_, fv_, blo, bext
                         ),
                         donate_argnums=(0, 1),
                     )
@@ -1263,21 +1349,22 @@ def assemble_coefficient_planes(
         Pg, bg = init(ctx, axis_facs) if use_outer else init()
         for blo, bext, reps in conv_tasks:
             Pg, bg = step_fn("conv", (blo, bext, reps))(
-                Pg, bg, ctx, axis_xf, geo_args
+                Pg, bg, ctx, axis_xf, geo_args, fgrids
             )
         for (blo, bext), ids in zip(gen_boxes, gen_ids):
-            Pg, bg = step_fn("gen", (blo, bext))(Pg, bg, ctx, ids)
+            Pg, bg = step_fn("gen", (blo, bext))(Pg, bg, ctx, ids,
+                                                 fgrids)
     else:
-        # One cached executable per (space, coef structure): ctx flows
-        # as a jit ARGUMENT so repeated assemblies with new coefficient
-        # values reuse the same program (no recompiles).
-        def run(run_ctx, axis_xf, geo_, gids, facs):
+        # One cached executable per (space, coef structure): ctx AND
+        # field vectors flow as jit ARGUMENTS so repeated assemblies
+        # (e.g. every Newton step) reuse the same program.
+        def run(run_ctx, axis_xf, geo_, gids, facs, fvals):
             Pg, bg = init_Pb(run_ctx, facs)
             for blo, bext, reps in conv_tasks:
                 Pg, bg = conv_chunk(Pg, bg, run_ctx, axis_xf, geo_,
-                                    blo, bext, reps)
+                                    fvals, blo, bext, reps)
             for (blo, bext), ids in zip(gen_boxes, gids):
-                Pg, bg = gen_box(Pg, bg, run_ctx, ids, blo, bext)
+                Pg, bg = gen_box(Pg, bg, run_ctx, ids, fvals, blo, bext)
             return Pg, bg
 
         fn = space._device_cache.get(ckey)
@@ -1285,7 +1372,7 @@ def assemble_coefficient_planes(
             fn = jax.jit(run)
             space._device_cache[ckey] = fn
         Pg, bg = fn(ctx, axis_xf, geo_args, gen_ids,
-                    axis_facs if use_outer else None)
+                    axis_facs if use_outer else None, fgrids)
     M = int(np.prod(Ne)) // LANES
     if symmetric:
         op = PallasStencilOperator.from_planes_symmetric(

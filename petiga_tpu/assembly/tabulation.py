@@ -25,6 +25,7 @@ from __future__ import annotations
 import itertools
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -415,6 +416,13 @@ def tabulate_elements(
     Returns:
       a :class:`PointBlock`.
     """
+    # highest precision throughout the tabulation chain: default MXU
+    # bf16 matmuls degrade f32 basis/geometry tables at ~1e-3 relative
+    with jax.default_matmul_precision("highest"):
+        return _tabulate_elements_impl(space, elem_ids, order, face)
+
+
+def _tabulate_elements_impl(space, elem_ids, order, face):
     dim = space.dim
     order = space.order if order is None else order
     dt = space.dtype

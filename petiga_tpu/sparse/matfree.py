@@ -210,6 +210,12 @@ class MatFreeOperator:
     # ------------------------------------------------------------- apply
 
     def matvec(self, x):
+        # highest precision: default MXU bf16 matmuls would put ~1e-3
+        # relative error in the sum-factorized apply
+        with jax.default_matmul_precision("highest"):
+            return self._matvec_impl(x)
+
+    def _matvec_impl(self, x):
         sp = self.space
         dof = sp.dof
         N = sp.node_shape
@@ -469,6 +475,10 @@ class MatFreeOperator:
         return self.matvec(x)
 
     def scalar_diagonal(self):
+        with jax.default_matmul_precision("highest"):
+            return self._scalar_diagonal_impl()
+
+    def _scalar_diagonal_impl(self):
         """Approximate diagonal for Jacobi: assembled-free estimate via
         per-axis table sums (exact for the identity map)."""
         sp = self.space

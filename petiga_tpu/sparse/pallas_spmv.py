@@ -82,6 +82,14 @@ LANES = 128
 VMEM_BUDGET = 14 * 2**20
 
 
+
+def _pad0(a, pw):
+    """Zero pad with a dtype-strong constant: the default Python-int 0
+    pad value canonicalizes to i64 under x64 and changes the lowered
+    HLO of otherwise f32-only programs (cache invalidation — ADVICE
+    r4)."""
+    return jnp.pad(a, pw, constant_values=np.zeros((), a.dtype))
+
 def _default_pads(stencil, align=None):
     """Per-spatial-axis (lo, hi) grid pads: periodic halo (p, p) plus
     optional high-side alignment pads."""
@@ -689,9 +697,9 @@ class PallasStencilOperator:
         if planes is None:
             planes = st.K * st.dof * st.dof
         if any(pp != (0, 0) for pp in self._gpads):
-            data_grid = jnp.pad(data_grid, self._gpads + [(0, 0)])
+            data_grid = _pad0(data_grid, self._gpads + [(0, 0)])
         DT = data_grid.reshape(self.next, planes).T
-        DT = jnp.pad(DT, ((0, 0), (0, self.M * LANES - self.next)))
+        DT = _pad0(DT, ((0, 0), (0, self.M * LANES - self.next)))
         return DT.reshape(planes, self.M, LANES)
 
     def pack_ext(self, x_ext):
@@ -701,7 +709,7 @@ class PallasStencilOperator:
         xT = x_ext.reshape(self.next, self.st.dof).T
         pad_lo = self.G * LANES
         pad_hi = (self.G + self.Mp) * LANES - self.next
-        return jnp.pad(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
+        return _pad0(xT, ((0, 0), (pad_lo, pad_hi))).reshape(-1, LANES)
 
     def _pack_x(self, x):
         """(nnodes, dof) -> (dof·(G+Mp+G), 128) on the extended grid
@@ -720,7 +728,7 @@ class PallasStencilOperator:
             if (lo, hi) != (0, 0):
                 pw = [(0, 0)] * (dim + 1)
                 pw[g] = (lo, hi)
-                xg = jnp.pad(xg, pw)
+                xg = _pad0(xg, pw)
         return self.pack_ext(xg)
 
     def _unpack_y(self, y):
@@ -757,7 +765,7 @@ class PallasStencilOperator:
         """Kernel output (dof, M, 128) -> packed layout with zero
         guards (valid as solver-iterate layout for OPEN axes)."""
         pad_hi = self.G + self.Mp - y.shape[1]
-        return jnp.pad(y, ((0, 0), (self.G, pad_hi), (0, 0))).reshape(
+        return _pad0(y, ((0, 0), (self.G, pad_hi), (0, 0))).reshape(
             -1, LANES
         )
 
@@ -836,18 +844,29 @@ class PallasStencilOperator:
         inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
         return self._pack_x(inv.reshape(self.st.nnodes, self.dof))
 
-    def diag_from_planes(self):
+    def diag_from_planes(self, DT=None):
         """Scalar diagonal recovered from the packed planes (nnodes,
         dof) — for ``from_planes`` operators with no StencilMatrix.
-        Symmetric storage keeps the diagonal slot first (ku = 0)."""
+        Symmetric storage keeps the diagonal slot first (ku = 0).
+        Pass ``DT`` explicitly inside jitted code (closing over
+        ``self.DT`` embeds the planes as an HLO constant)."""
+        if DT is None:
+            DT = self.DT
         s = self.st
         dslot = 0 if self.kind == "sym" else s.diag_slot
         cols = []
         for a in range(self.dof):
-            plane = self.DT[(dslot * self.dof + a) * self.dof + a]
+            plane = DT[(dslot * self.dof + a) * self.dof + a]
             cols.append(plane.reshape(-1)[: self.next])
         y = jnp.stack(cols, axis=-1)  # (next, dof)
         return self._unpack_from_ext(y)
+
+    def packed_diag_inv_of(self, DT):
+        """Jacobi inverse-diagonal in packed layout from explicit
+        planes (jit-argument form of :meth:`packed_diag_inv`)."""
+        d = self.diag_from_planes(DT)
+        inv = jnp.where(d != 0, 1.0 / jnp.where(d == 0, 1.0, d), 0.0)
+        return self._pack_x(inv.reshape(self.st.nnodes, self.dof))
 
     def _unpack_from_ext(self, y):
         dim = self.st.dim

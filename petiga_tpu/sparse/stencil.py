@@ -120,6 +120,14 @@ class Stencil:
         return cols
 
 
+
+def _pad0(a, pw):
+    """Zero pad with a dtype-strong constant: the default Python-int 0
+    pad value canonicalizes to i64 under x64 and changes the lowered
+    HLO of otherwise f32-only programs (cache invalidation — ADVICE
+    r4)."""
+    return jnp.pad(a, pw, constant_values=np.zeros((), a.dtype))
+
 def stencil_apply(data_grid, x_padded, widths, slot_offsets):
     """Core stencil SpMV: K shifted fused multiply-adds.
 
@@ -135,6 +143,12 @@ def stencil_apply(data_grid, x_padded, widths, slot_offsets):
     Shared by the serial operator and the shard_map-distributed operator
     (where x_padded comes from a ppermute halo exchange).
     """
+    with jax.default_matmul_precision("highest"):  # bf16-free blocks
+        return _stencil_apply_impl(data_grid, x_padded, widths,
+                                   slot_offsets)
+
+
+def _stencil_apply_impl(data_grid, x_padded, widths, slot_offsets):
     dim = len(widths)
     N_rev = data_grid.shape[:dim]
     K = data_grid.shape[dim]
@@ -192,13 +206,14 @@ class StencilMatrix:
         if all(modes):
             xp = jnp.pad(xg, pad, mode="wrap")
         elif not any(modes):
-            xp = jnp.pad(xg, pad)
+            xp = _pad0(xg, pad)
         else:
             xp = xg
             for g in range(dim):
                 pw = [(0, 0)] * (dim + 1)
                 pw[g] = pad[g]
-                xp = jnp.pad(xp, pw, mode="wrap" if modes[g] else "constant")
+                xp = (jnp.pad(xp, pw, mode="wrap") if modes[g]
+                      else _pad0(xp, pw))
 
         # XLA-TPU miscompiles the fusion of (reshape -> pad -> K sliced
         # consumers) at some shapes (observed: 13^3 grid, dof=3, K=27 —
@@ -407,6 +422,10 @@ class SymmetricStencilMatrix:
 
     @jax.named_scope("MatMultSym")
     def matvec(self, x: jnp.ndarray) -> jnp.ndarray:
+        with jax.default_matmul_precision("highest"):
+            return self._matvec_impl(x)
+
+    def _matvec_impl(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..utils import profiling
 
         profiling.count("MatMult", profiling.spmv_flops(self.stencil))
@@ -476,7 +495,7 @@ class SymmetricStencilMatrix:
                 pl[g] = (Lg - p, 0)
                 ph = [(0, 0)] * core.ndim
                 ph[g] = (0, Lg - p)
-                core = core + jnp.pad(lo, pl) + jnp.pad(hi, ph)
+                core = core + _pad0(lo, pl) + _pad0(hi, ph)
             tg = core
         y = y + tg
         y = y.reshape(s.nnodes, dof)

@@ -144,10 +144,17 @@ def check_sym_assembly(nel=48):
 
 
 def check_periodic(nel=32):
-    """Periodic conv assembly vs the node-major scatter path."""
+    """Periodic conv assembly vs the node-major scatter path.  (The
+    oracle assembles under the highest-precision fix; its forcing is
+    (c + 3π²k)·prod sin — match it.)"""
     sp = Space([Axis.uniform(p=2, nel=nel, periodic=True)
                 for _ in range(3)], dtype=jnp.float32)
     ctx = {"c": 0.5, "k": jnp.float32(1.0)}
+
+    def forcing(x, c):
+        return (0.5 + 3 * jnp.pi**2) * jnp.prod(jnp.sin(jnp.pi * x),
+                                                axis=-1)
+
     A, b = assemble_system(
         sp, poisson_system, {"c": 0.5, "k": 1.0}, apply_fix=False
     )
@@ -211,9 +218,14 @@ def check_outer_timing(nel=128):
             np.random.default_rng(3).normal(size=(sp.nnodes, 1)),
             jnp.float32,
         )
-        res[f"mv_norm_{key}"] = float(
-            jnp.linalg.norm(jax.jit(op.matvec)(x))
-        )
+        # DT as a jit ARGUMENT: closing over the GB-scale planes embeds
+        # them as an HLO constant and overflows the remote-compile
+        # request (HTTP 413)
+        res[f"mv_norm_{key}"] = float(jnp.linalg.norm(
+            jax.jit(lambda DT, xx: op.matvec_xb(DT, xx))(
+                op.DT, op.pack_vec(x)
+            )
+        ))
         del op, b
     res["ok"] = bool(
         abs(res["mv_norm_outer"] - res["mv_norm_conv"])

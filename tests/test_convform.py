@@ -471,3 +471,51 @@ def test_conv_outer_exact_nonuniform():
     np.testing.assert_allclose(
         data, np.asarray(A.data)[:, :, 0, 0], atol=1e-12
     )
+
+
+def test_conv_field_coefficients_bratu_jacobian():
+    """State-dependent coefficient channels (fields=): the
+    conv-assembled Bratu Jacobian matches the AD/pointwise Jacobian at
+    a random iterate, and the conv-Newton driver reproduces the
+    standard Newton solve (petigasnes.c:82-139)."""
+    from petiga_tpu.assembly.assemble import (
+        assemble_jacobian,
+        dirichlet_post_fix_homogeneous,
+    )
+    from petiga_tpu.models.bratu import (
+        bratu_jacobian_coefficients,
+        bratu_residual,
+        make_space as bratu_space,
+        solve_bratu,
+        solve_bratu_conv,
+    )
+
+    sp = bratu_space(2, p=2, nel=7, dtype=F64)
+    rng = np.random.default_rng(7)
+    U = jnp.asarray(rng.normal(scale=0.1, size=(sp.nnodes, 1)))
+    lam = jnp.asarray(1.5, F64)
+    Jref = assemble_jacobian(sp, bratu_residual, U, {"lambda": lam})
+    for co in (True, False):  # const_outer irrelevant (fields vary)
+        J, _ = assemble_coefficient_planes(
+            sp, bratu_jacobian_coefficients, {"lambda": lam},
+            fields={"u": jnp.where(sp.device("dirichlet")[0] > 0,
+                                   sp.device("dirichlet")[1],
+                                   U).reshape(-1)},
+            apply_fix=False, interpret=True, conv_min=8, const_outer=co,
+        )
+        J, _ = dirichlet_post_fix_homogeneous(
+            sp, J, jnp.zeros((sp.nnodes, 1), F64)
+        )
+        x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+        yc = np.asarray(J.matvec(x))
+        yr = np.asarray(Jref.matvec(x))
+        np.testing.assert_allclose(yc, yr, atol=1e-11)
+
+    # end-to-end Newton parity
+    res1 = solve_bratu(sp, lam=1.5, rtol=1e-10)
+    U2, info2 = solve_bratu_conv(sp, lam=1.5, rtol=1e-10,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(U2), np.asarray(res1.U).reshape(np.asarray(U2).shape),
+        atol=1e-8,
+    )

@@ -185,3 +185,32 @@ def test_separable_assembly_identical():
         )
         np.testing.assert_allclose(np.asarray(b2), np.asarray(b),
                                    atol=1e-14)
+
+
+def test_cg_program_x64_invariant():
+    """ADVICE r4: the f32 CG program must lower to identical HLO with
+    x64 on and off (explicit i32 loop counters, explicit dtypes) — so
+    enabling x64 for the refinement stage does not invalidate the
+    persistent-compile-cache entries of the f32 solve programs."""
+    import jax
+    from petiga_tpu.solve.krylov import cg
+    from petiga_tpu.sparse.stencil import StencilMatrix
+    from petiga_tpu.assembly.assemble import stencil_of
+
+    sp = make_space(2, p=2, nel=6, dtype=jnp.float32)
+    A, b = assemble_system(sp, poisson_system, {"c": 0.0, "k": 1.0})
+
+    def solve(data, bb):
+        Am = StencilMatrix(stencil_of(sp), data)
+        r = cg(Am, bb, rtol=1e-6, maxiter=100)
+        return r.x, r.iters
+
+    shapes = (
+        jax.ShapeDtypeStruct(A.data.shape, jnp.float32),
+        jax.ShapeDtypeStruct(b.shape, jnp.float32),
+    )
+    with jax.enable_x64(True):
+        hlo_on = jax.jit(solve).lower(*shapes).as_text()
+    with jax.enable_x64(False):
+        hlo_off = jax.jit(solve).lower(*shapes).as_text()
+    assert hlo_on == hlo_off
