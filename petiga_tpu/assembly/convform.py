@@ -74,14 +74,52 @@ def poisson_coefficients(x, ctx):
     return ch
 
 
+def _chan_orders(idx, dim):
+    """Per-axis parametric derivative orders of a channel index:
+    ``0`` = value, ``1..dim`` = d/dx_{i-1}, or a TUPLE of axis ids for
+    higher derivatives (``(d1, d2)`` = ∂²/∂x_{d1}∂x_{d2}) — the
+    order-2 channels 4th-order operators (CahnHilliard, PFC) need."""
+    o = [0] * dim
+    if isinstance(idx, tuple):
+        for d in idx:
+            o[d] += 1
+    elif idx > 0:
+        o[idx - 1] = 1
+    return tuple(o)
+
+
+def _chan_total(idx):
+    return len(idx) if isinstance(idx, tuple) else (0 if idx == 0 else 1)
+
+
+def _chan_key(ij):
+    """Deterministic sort key over mixed int/tuple channel indices."""
+    def one(i):
+        t = (i,) if not isinstance(i, tuple) else i
+        return (_chan_total(i), t)
+    return (one(ij[0]), one(ij[1]))
+
+
+def _chan_D(pt, idx):
+    """Basis factor for a channel index from a tabulated point block
+    (leading axes (…, Q); shape1 trailing (dim,), shape2 (dim, dim))."""
+    if isinstance(idx, tuple):
+        d1, d2 = idx
+        return pt.shape2[..., d1, d2]
+    if idx == 0:
+        return pt.shape0
+    return pt.shape1[..., idx - 1]
+
+
 def coefficient_pointwise_form(coef: Callable, forcing: Optional[Callable] = None):
     """Synthesize the pointwise q-batched form equivalent to a
     coefficient spec: ``K_ab = sum_q w_q sum_ij C_ij D_i N_a D_j N_b``.
 
     ``coef(x, ctx) -> {(i, j): value}`` with ``i, j in 0..dim`` (0 =
-    value channel, ``i`` = d/dx_{i-1}); values are scalars or arrays
-    broadcastable against ``x[..., 0]``.  ``forcing(x, ctx) -> f`` adds
-    the load ``F_a = sum_q w_q f N_a``.
+    value channel, ``i`` = d/dx_{i-1}) or tuples of axis ids for second
+    derivatives; values are scalars or arrays broadcastable against
+    ``x[..., 0]``.  ``forcing(x, ctx) -> f`` adds the load
+    ``F_a = sum_q w_q f N_a``.
     """
 
     def form(pt, w, ctx):
@@ -89,9 +127,11 @@ def coefficient_pointwise_form(coef: Callable, forcing: Optional[Callable] = Non
         dt = pt.shape0.dtype
         nen = pt.shape0.shape[-1]
         ch = coef(X, ctx)
-        D = [pt.shape0] + [
-            pt.shape1[..., d] for d in range(pt.shape1.shape[-1])
-        ]
+        D = {}
+        for (i, j) in ch:
+            for idx in (i, j):
+                if idx not in D:
+                    D[idx] = _chan_D(pt, idx)
         dof = 1
         for c in ch.values():
             if np.ndim(c) >= 2:
@@ -188,37 +228,41 @@ def _conv_kernel(space, chlist, dtype, reps, slots=None):
     representative elements ``reps[d]`` (interior rep or a boundary
     layer); taps pre-flipped for lax's correlation convention.
     ``slots`` restricts the output channels to a slot subset (the
-    symmetric upper-slot storage)."""
+    symmetric upper-slot storage).  Channel indices may be tuples of
+    axis ids (second-derivative channels, per-axis order ≤ 2)."""
     dim = space.dim
     p = space.degrees
     nq = [space.tabs[d].nqp for d in range(dim)]
     nen_d = [p[d] + 1 for d in range(dim)]
     sK = [2 * p[d] + 1 for d in range(dim)]
+    NDER = 3  # per-axis basis derivative orders 0..2
 
     G = []
     for d in range(dim):
         t = space.tabs[d]
         lo = reps[d]
-        V = t.value[lo, :, :2, :]  # (nq, 2, p+1)
+        V = t.value[lo, :, :NDER, :]  # (nq, NDER, p+1)
         # per-axis quadrature weights ride in the kernel (type-constant),
         # so W carries only the pointwise coefficients — a pure
         # broadcast for constant-coefficient forms
         wd = t.weight[lo] * t.detJac[lo]  # (nq,)
-        g = np.zeros((2, 2, nq[d], nen_d[d], sK[d]))
+        g = np.zeros((NDER, NDER, nq[d], nen_d[d], sK[d]))
         for a in range(nen_d[d]):
             for s in range(sK[d]):
                 b = a + s - p[d]
                 if 0 <= b <= p[d]:
-                    for da in range(2):
-                        for db in range(2):
+                    for da in range(NDER):
+                        for db in range(NDER):
                             g[da, db, :, a, s] = V[:, da, a] * V[:, db, b] * wd
         G.append(g)
 
     kers = []
     for (i, j) in chlist:
+        oi = _chan_orders(i, dim)
+        oj = _chan_orders(j, dim)
         k = np.ones(tuple(nq[::-1]) + tuple(nen_d[::-1]) + tuple(sK[::-1]))
         for d in range(dim):
-            g = G[d][int(i == d + 1), int(j == d + 1)]  # (q, a, s)
+            g = G[d][oi[d], oj[d]]  # (q, a, s)
             sh = [1] * (3 * dim)
             gi = dim - 1 - d
             sh[gi] = nq[d]
@@ -255,7 +299,7 @@ def _axis_factor_mats(space, dtype):
         p = t.p
         sK = 2 * p + 1
         w = np.asarray(t.weight * t.detJac[:, None])  # (nel, q)
-        V = np.asarray(t.value[:, :, :2, :])  # (nel, q, 2, p+1)
+        V = np.asarray(t.value[:, :, :3, :])  # (nel, q, 3, p+1)
         off = np.asarray(t.offset)
         rows = off[:, None] + np.arange(p + 1)[None, :]  # (nel, p+1)
         if space.periodic[d]:
@@ -264,9 +308,9 @@ def _axis_factor_mats(space, dtype):
                 + p)  # (a, b) -> b - a + p
         ridx = np.broadcast_to(rows[:, :, None], (t.nel, p + 1, p + 1))
         sidx = np.broadcast_to(slot[None], (t.nel, p + 1, p + 1))
-        mats = [[None, None], [None, None]]
-        for da in (0, 1):
-            for db in (0, 1):
+        mats = [[None] * 3 for _ in range(3)]
+        for da in (0, 1, 2):
+            for db in (0, 1, 2):
                 M = np.einsum(
                     "eq,eqa,eqb->eab", w, V[:, :, da, :], V[:, :, db, :]
                 )
@@ -314,13 +358,17 @@ def _fine_basis_mats(space, dtype):
     for d in range(space.dim):
         t = space.tabs[d]
         N = space.node_shape[d]
-        B0 = np.zeros((t.nel * t.nqp, N))
-        B1 = np.zeros((t.nel * t.nqp, N))
+        Bs = [np.zeros((t.nel * t.nqp, N)) for _ in range(3)]
         for e in range(t.nel):
             o = int(t.offset[e])
-            B0[e * t.nqp:(e + 1) * t.nqp, o:o + t.p + 1] = t.value[e, :, 0, :]
-            B1[e * t.nqp:(e + 1) * t.nqp, o:o + t.p + 1] = t.value[e, :, 1, :]
-        mats.append((jnp.asarray(B0, dtype), jnp.asarray(B1, dtype)))
+            cols = np.arange(o, o + t.p + 1)
+            if space.periodic[d]:
+                cols = cols % N
+            for k in range(3):
+                Bs[k][e * t.nqp:(e + 1) * t.nqp, cols] = (
+                    t.value[e, :, k, :]
+                )
+        mats.append(tuple(jnp.asarray(B, dtype) for B in Bs))
     return mats
 
 
@@ -681,17 +729,50 @@ def assemble_coefficient_planes(
     # part of the executable cache key.
     if fields is not None and (dof != 1 or geom):
         raise ValueError("field coefficients: dof=1 identity map only")
-    field_names = tuple(sorted(fields.keys())) if fields else ()
+    if fields:
+        fspecs = {
+            k: ((v[0], int(v[1])) if isinstance(v, tuple) else (v, 0))
+            for k, v in fields.items()
+        }
+        field_names = tuple(sorted(fspecs))
+        field_orders = tuple(fspecs[k][1] for k in field_names)
+    else:
+        field_names = ()
+        field_orders = ()
+
+    def _field_probe():
+        fp = {}
+        for k, o in zip(field_names, field_orders):
+            fp[k] = jnp.zeros((1,), dt)
+            if o >= 1:
+                fp[k + "_grad"] = jnp.zeros((1, dim), dt)
+            if o >= 2:
+                fp[k + "_hess"] = jnp.zeros((1, dim, dim), dt)
+        return fp
+
     x0 = np.zeros((1, dim))
     if fields is not None:
-        fprobe = {k: jnp.zeros((1,), dt) for k in field_names}
-        probe = coef(jnp.asarray(x0, dt), ctx, fprobe)
+        probe = coef(jnp.asarray(x0, dt), ctx, _field_probe())
     else:
         probe = coef(jnp.asarray(x0, dt), ctx)
-    chlist = sorted(probe.keys())
+    chlist = sorted(probe.keys(), key=_chan_key)
+
+    def _check_idx(idx):
+        if isinstance(idx, tuple):
+            return (len(idx) <= 2
+                    and all(0 <= d < dim for d in idx))
+        return 0 <= idx <= dim
+
+    max_order = 1
     for (i, j) in chlist:
-        if not (0 <= i <= dim and 0 <= j <= dim):
-            raise ValueError(f"channel {(i, j)} out of range (order-1 only)")
+        if not (_check_idx(i) and _check_idx(j)):
+            raise ValueError(f"channel {(i, j)} out of range")
+        max_order = max(max_order, _chan_total(i), _chan_total(j))
+    if max_order > 1 and geom:
+        raise ValueError(
+            "second-derivative channels require the identity map "
+            "(no second-order pullback in the conv engine yet)"
+        )
     const_shapes = ((), (dof, dof)) if dof > 1 else ((),)
     is_const = {c: np.shape(probe[c]) in const_shapes for c in chlist}
     all_const = (all(is_const.values()) and not geom
@@ -766,10 +847,12 @@ def assemble_coefficient_planes(
             P = None
             for (i, j) in chlist:
                 val = jnp.asarray(chv[(i, j)], dt).reshape(-1)  # dof² or 1
+                oi = _chan_orders(i, dim)
+                oj = _chan_orders(j, dim)
                 fgs = []
                 for g in range(dim):
                     d = dim - 1 - g
-                    F = facs[d][int(i == d + 1)][int(j == d + 1)]
+                    F = facs[d][oi[d]][oj[d]]
                     Fk = F[:, scomp[d]].T  # (Keff, N_d)
                     Fk = jnp.pad(
                         Fk,
@@ -904,7 +987,7 @@ def assemble_coefficient_planes(
     mats = _fine_basis_mats(space, dt) if (geom or fields) else None
     # field vectors in grid layout — jit arguments, not closure constants
     fgrids = tuple(
-        jnp.asarray(fields[k], dt).reshape(tuple(N[::-1]) + (1,))
+        jnp.asarray(fspecs[k][0], dt).reshape(tuple(N[::-1]) + (1,))
         for k in field_names
     ) if fields else ()
     Gg = wg = None
@@ -1084,11 +1167,42 @@ def assemble_coefficient_planes(
             # grid (sum-factorized banded contractions), so X rides the
             # same layout and W goes through space-to-depth
             X = _fine_X(space, axis_xf, blo, bext)
-            fe = {
-                k: _fine_field(space, mats, (0,) * dim, fv, blo,
-                               bext)[..., 0]
-                for k, fv in zip(field_names, fvals)
-            }
+
+            def _fder(fv, ders):
+                return _fine_field(space, mats, ders, fv, blo,
+                                   bext)[..., 0]
+
+            fe = {}
+            for k, fv, o in zip(field_names, fvals, field_orders):
+                fe[k] = _fder(fv, (0,) * dim)
+                if o >= 1:
+                    fe[k + "_grad"] = jnp.stack(
+                        [
+                            _fder(fv, tuple(
+                                1 if dd == d else 0 for dd in range(dim)
+                            ))
+                            for d in range(dim)
+                        ],
+                        axis=-1,
+                    )
+                if o >= 2:
+                    fe[k + "_hess"] = jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    _fder(fv, tuple(
+                                        (1 if dd == d1 else 0)
+                                        + (1 if dd == d2 else 0)
+                                        for dd in range(dim)
+                                    ))
+                                    for d2 in range(dim)
+                                ],
+                                axis=-1,
+                            )
+                            for d1 in range(dim)
+                        ],
+                        axis=-2,
+                    )
             ch = coef(X, run_ctx, fe)
         elif not all_const:
             # identity map: evaluate straight in conv-input layout —
@@ -1098,7 +1212,7 @@ def assemble_coefficient_planes(
         if any(is_const[c] for c in chlist):
             if fields is not None:
                 chv = coef(jnp.zeros((1, dim), dt), run_ctx,
-                           {k: jnp.zeros((1,), dt) for k in field_names})
+                           _field_probe())
             else:
                 chv = coef(jnp.zeros((1, dim), dt), run_ctx)
         else:
@@ -1138,7 +1252,9 @@ def assemble_coefficient_planes(
                 elif all(is_const[cc] for cc in chl):
                     cvec = jnp.stack(
                         [
-                            _block_entry(chv[cc], r, c).reshape(())
+                            jnp.asarray(
+                                _block_entry(chv[cc], r, c), dt
+                            ).reshape(())
                             for cc in chl
                         ]
                     )
@@ -1233,7 +1349,8 @@ def assemble_coefficient_planes(
         if fields is not None:
             Ke, Fe = _gen_box_fields(run_ctx, ids, fvals)
         else:
-            element_KF = _make_element_KF(space, run_ctx, 1, False)
+            element_KF = _make_element_KF(space, run_ctx, max_order,
+                                          False)
             valid = jnp.ones((ids.shape[0],), bool)
             Ke, Fe, _ = element_KF(ids, valid, None, form)
         contrib, Gv = _box_contrib(space, Ke, Fe, bext)
@@ -1252,25 +1369,37 @@ def assemble_coefficient_planes(
         from .tabulation import tabulate_elements
 
         with jax.default_matmul_precision("highest"):
-            pb = tabulate_elements(space, ids, order=1)
+            tab_order = max((max_order,) + field_orders)
+            pb = tabulate_elements(space, ids, order=tab_order)
             emap = space.device_emap(ids)  # (B, nen)
-            fe = {
-                k: jnp.einsum(
-                    "bqa,ba->bq", pb.shape[0],
-                    fv.reshape(-1)[emap].astype(dt),
-                )
-                for k, fv in zip(field_names, fvals)
-            }
+            fe = {}
+            for k, fv, o in zip(field_names, fvals, field_orders):
+                Ue = fv.reshape(-1)[emap].astype(dt)  # (B, nen)
+                fe[k] = jnp.einsum("bqn,bn->bq", pb.shape[0], Ue)
+                if o >= 1:
+                    fe[k + "_grad"] = jnp.einsum(
+                        "bqnd,bn->bqd", pb.shape[1], Ue
+                    )
+                if o >= 2:
+                    fe[k + "_hess"] = jnp.einsum(
+                        "bqnde,bn->bqde", pb.shape[2], Ue
+                    )
             ch = coef(pb.x, run_ctx, fe)
-            D = [pb.shape[0]] + [
-                pb.shape[1][..., d] for d in range(dim)
-            ]
+
+            def Dof(idx):
+                if isinstance(idx, tuple):
+                    d1, d2 = idx
+                    return pb.shape[2][..., d1, d2]
+                if idx == 0:
+                    return pb.shape[0]
+                return pb.shape[1][..., idx - 1]
+
             Ke = None
             for (i, j), v in ch.items():
                 wc = pb.weight * jnp.broadcast_to(
                     jnp.asarray(v, dt), pb.weight.shape
                 )
-                term = jnp.einsum("bq,bqa,bqc->bac", wc, D[i], D[j])
+                term = jnp.einsum("bq,bqa,bqc->bac", wc, Dof(i), Dof(j))
                 Ke = term if Ke is None else Ke + term
             B = ids.shape[0]
             if forcing is not None:
@@ -1311,7 +1440,8 @@ def assemble_coefficient_planes(
     ckey = (
         "convform", coef, forcing, tuple(chlist),
         tuple(sorted(chmap.items())), chunk_z, shell_chunk,
-        conv_min, row_aligned, dt, symmetric, use_outer, field_names,
+        conv_min, row_aligned, dt, symmetric, use_outer,
+        field_names, field_orders,
     )
     if donate_loop:
         # At multi-GB plane sizes XLA double-buffers the accumulator

@@ -127,3 +127,50 @@ def run(
 
     U, V = integrate(stepper, U0, 0.0, dt, nsteps, monitor=mon)
     return U, stats_log
+
+
+def ddmobility(c):
+    return -2.0 * jnp.ones_like(c)
+
+
+def chemical_potential_dd(c, theta, alpha):
+    """d²μ/dc² = -3α/(2θ) · (1-2c)/(c(1-c))²."""
+    return -3 * alpha / (2 * theta) * (1 - 2 * c) / (c * (1 - c)) ** 2
+
+
+def jacobian_coefficients(x, ctx, fields):
+    """The Cahn-Hilliard time-stepper Jacobian as a coefficient spec
+    with second-derivative channels and state (value/gradient/Hessian)
+    dependent coefficients — the 4th-order flagship class
+    (CahnHilliard2D.c Tangent, demo/CahnHilliard3D.c:55-112) on the MXU
+    conv engine.  Pass ``fields={"c": (C, 2)}``; ``ctx["shift"]`` adds
+    the ∂/∂c_t mass term of the α scheme.
+
+    J(w, v) = shift·w v + ∇w·∇v t1 + (∇v·∇c)(∂t1/∂c) w
+              + (∇v·∇c) M' Δw + Δv M Δw + Δv M' Δc w
+    with t1 = Mμ' + M'Δc (rows = test v, cols = trial w).
+    """
+    theta, alpha = ctx["theta"], ctx["alpha"]
+    shift = ctx.get("shift", 0.0)
+    dim = x.shape[-1]
+    c = fields["c"]
+    gc = fields["c_grad"]
+    d2c = jnp.trace(fields["c_hess"], axis1=-2, axis2=-1)
+    M = mobility(c)
+    dM = dmobility(c)
+    ddM = ddmobility(c)
+    dmu = chemical_potential_d(c, theta, alpha)
+    ddmu = chemical_potential_dd(c, theta, alpha)
+    t1 = M * dmu + dM * d2c
+    dt1 = dM * dmu + M * ddmu + ddM * d2c  # ∂t1/∂c
+    ch = {}
+    if not isinstance(shift, (int, float)) or shift != 0.0:
+        ch[(0, 0)] = shift
+    for d in range(dim):
+        ch[(d + 1, d + 1)] = t1
+        ch[(d + 1, 0)] = gc[..., d] * dt1
+        ch[((d, d), 0)] = dM * d2c
+        for e in range(dim):
+            ch[(d + 1, (e, e))] = gc[..., d] * dM
+            ch[((d, d), (e, e))] = M
+    return ch

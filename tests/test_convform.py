@@ -519,3 +519,94 @@ def test_conv_field_coefficients_bratu_jacobian():
         np.asarray(U2), np.asarray(res1.U).reshape(np.asarray(U2).shape),
         atol=1e-8,
     )
+
+
+def test_conv_order2_channels_biharmonic():
+    """Second-derivative channels: ∫ Δw Δv + c w v assembled by the
+    conv engine (incl. the outer-product const path and symmetric
+    storage) matches the generic order-2 quadrature path."""
+    from petiga_tpu.assembly.assemble import assemble_system
+
+    def coef(x, ctx):
+        dim = x.shape[-1]
+        ch = {(0, 0): 0.7}
+        for d in range(dim):
+            for e in range(dim):
+                ch[((d, d), (e, e))] = 1.0
+        return ch
+
+    for per in (False, True):
+        sp = Space(
+            [Axis.uniform(p=2, nel=7, periodic=per) for _ in range(2)],
+            dtype=F64,
+        )
+        form = coefficient_pointwise_form(coef)
+        A, _ = assemble_system(sp, form, order=2, apply_fix=False)
+        x = jnp.asarray(
+            np.random.default_rng(11).normal(size=(sp.nnodes, 1))
+        )
+        for co in (True, False):
+            B, _ = assemble_coefficient_planes(
+                sp, coef, apply_fix=False, interpret=True,
+                conv_min=8, const_outer=co,
+            )
+            np.testing.assert_allclose(
+                np.asarray(B.matvec(x)), np.asarray(A.matvec(x)),
+                atol=1e-11,
+            )
+        if not per:
+            S, _ = assemble_coefficient_planes(
+                sp, coef, apply_fix=False, interpret=True,
+                conv_min=8, symmetric=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(S.matvec(x)), np.asarray(A.matvec(x)),
+                atol=1e-11,
+            )
+
+
+def test_conv_cahnhilliard_jacobian():
+    """The CH Jacobian (order-2 channels, value/grad/Hessian fields,
+    periodic C¹) conv-assembles to the AD Jacobian of the residual —
+    the reference's flagship transient class on the MXU engine
+    (demo/CahnHilliard3D.c:55-112)."""
+    from petiga_tpu.assembly.assemble import assemble_jacobian
+    from petiga_tpu.models import cahnhilliard as chm
+
+    sp = chm.make_space(2, nel=6, dtype=F64)
+    rng = np.random.default_rng(12)
+    C = jnp.asarray(
+        0.5 + 0.2 * np.sin(2 * np.pi * rng.random((sp.nnodes, 1)))
+    )
+    ctx = {"theta": 1.5, "alpha": 3000.0, "shift": 0.0}
+
+    def fres(pt, ue, c):
+        return chm.residual(pt, 0.0, jnp.zeros_like(ue), 0.0, ue, c)
+
+    Jref = assemble_jacobian(sp, fres, C, ctx, order=2)
+    J, _ = assemble_coefficient_planes(
+        sp, chm.jacobian_coefficients, ctx, fields={"c": (C, 2)},
+        apply_fix=False, interpret=True, conv_min=8,
+    )
+    x = jnp.asarray(rng.normal(size=(sp.nnodes, 1)))
+    np.testing.assert_allclose(
+        np.asarray(J.matvec(x)), np.asarray(Jref.matvec(x)),
+        atol=1e-8 * float(jnp.max(jnp.abs(Jref.matvec(x)))),
+    )
+    # with the alpha-scheme shift (mass term)
+    ctx2 = {"theta": 1.5, "alpha": 3000.0, "shift": 7.3}
+
+    def fres2(pt, ue, c):
+        return chm.residual(
+            pt, 0.0, jnp.zeros_like(ue), 0.0, ue, c
+        ) + 7.3 * pt.value(ue)[0] * pt.shape0
+
+    Jref2 = assemble_jacobian(sp, fres2, C, ctx, order=2)
+    J2, _ = assemble_coefficient_planes(
+        sp, chm.jacobian_coefficients, ctx2, fields={"c": (C, 2)},
+        apply_fix=False, interpret=True, conv_min=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(J2.matvec(x)), np.asarray(Jref2.matvec(x)),
+        atol=1e-8 * float(jnp.max(jnp.abs(Jref2.matvec(x)))),
+    )
