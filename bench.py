@@ -134,7 +134,7 @@ def time_mv(op, b, n_lo=5, n_hi=55):
     return (t_hi - t_lo) / (n_hi - n_lo)
 
 
-def bench_128(chunk=131072, solve_rtol=1e-6):
+def bench_128(chunk=131072, solve_rtol=1e-6, nel=128):
     from petiga_tpu.models.poisson import (
         exact_solution,
         make_space,
@@ -149,7 +149,7 @@ def bench_128(chunk=131072, solve_rtol=1e-6):
         poisson_coefficients,
     )
 
-    NEL = 128
+    NEL = nel
     sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
     nnz = scalar_nnz(sp)
     out = {"nnz": nnz}
@@ -255,7 +255,7 @@ def bench_128(chunk=131072, solve_rtol=1e-6):
     return out
 
 
-def bench_256(chunk=65536, solve_rtol=1e-8):
+def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
     """Staged 256³ end-to-end: every stage frees its predecessor's
     HBM before the next allocates (the r04 OOM held the 8.6 GB conv
     operator through the refine stage)."""
@@ -273,7 +273,7 @@ def bench_256(chunk=65536, solve_rtol=1e-8):
         poisson_coefficients,
     )
 
-    NEL = 256
+    NEL = nel
     sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
     nnz = scalar_nnz(sp)
     out = {"nnz": nnz}

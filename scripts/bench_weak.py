@@ -71,6 +71,7 @@ def run(n_dev):
     t0 = time.time()
     res = jax.block_until_ready(solve())
     t_cg = time.time() - t0
+    cg_iters = int(res[1])
 
     # overlapped vs non-overlapped halo matvec (30 applications each)
     def mv_loop(overlap):
@@ -100,7 +101,7 @@ def run(n_dev):
         t0 = time.time()
         jax.block_until_ready(f(A, x0))
         t_mv[ov] = time.time() - t0
-    return t_asm, t_cg, t_mv, ds.pgrid
+    return t_asm, t_cg, cg_iters, t_mv, ds.pgrid
 
 
 def main():
@@ -110,15 +111,24 @@ def main():
     for n in counts:
         if n > len(jax.devices()):
             break
-        t_asm, t_cg, t_mv, pgrid = run(n)
+        t_asm, t_cg, cg_iters, t_mv, pgrid = run(n)
+        # per-ITERATION efficiency: weak-scaled problems converge in
+        # different CG iteration counts (conditioning grows with the
+        # refined axis), so total-time "efficiency" conflates algorithm
+        # and machine — r4's cg_eff 0.162 was mostly iteration growth
+        # against the maxiter=30 cap plus CPU-collective latency
+        t_it = t_cg / max(cg_iters, 1)
         if t1 is None:
-            t1 = (t_asm, t_cg)
+            t1 = (t_asm, t_cg, t_it)
         results[n] = {
             "pgrid": list(pgrid),
             "assembly_s": round(t_asm, 4),
             "cg_s": round(t_cg, 4),
+            "cg_iters": cg_iters,
+            "cg_ms_per_iter": round(1e3 * t_it, 3),
             "asm_eff": round(t1[0] / t_asm, 3),
             "cg_eff": round(t1[1] / t_cg, 3),
+            "cg_iter_eff": round(t1[2] / t_it, 3),
             "matvec30_overlap_s": round(t_mv[True], 4),
             "matvec30_noverlap_s": round(t_mv[False], 4),
         }

@@ -16,6 +16,7 @@ from petiga_tpu.models.bratu import (
     make_space,
     solve_bratu,
 )
+from petiga_tpu.solve.newton import newton
 
 F64 = jnp.float64
 
