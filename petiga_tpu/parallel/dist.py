@@ -428,28 +428,39 @@ class DistSpace:
             regular sub-box, so accumulation is (nen)^2 static slice
             adds into a box grid placed at the device origin — no
             scatter (the 10-100x cheaper path the serial assembly uses,
-            assembly/fastpath.py)."""
+            assembly/fastpath.py).  The box tabulates in z-SLAB chunks:
+            one batch over the whole device box OOMs once per-device
+            boxes are large (observed: 128³ on one device needs ~24 GB
+            of tabulation arrays)."""
             _, _, ebox, off0 = self._box_setup()
             e0 = e0_a.reshape(dim)
             cnt = cnt_a.reshape(dim)
-            Bbox = int(np.prod(ebox))
-            jm = np.unravel_index(np.arange(Bbox), ebox, order="F")
-            ids = jnp.zeros((Bbox,), jnp.int32)
-            valid = jnp.ones((Bbox,), bool)
-            stride = 1
-            for d in range(dim):
-                jd = jnp.asarray(jm[d], jnp.int32)
-                idx = e0[d] + jd
-                valid = valid & (jd < cnt[d])
-                ids = ids + jnp.clip(idx, 0, eshape[d] - 1) * stride
-                stride *= eshape[d]
-            Ke, Fe, _ = elem_KF(ids, valid, None, system)
-            Keb = Ke.reshape(Bbox, nen, dof, nen, dof).transpose(
-                0, 1, 3, 2, 4
-            )
-            Gm, Gv = fastpath.accumulate_box(
-                sp, ebox, Keb, Fe.reshape(Bbox, nen, dof)
-            )
+            Bslab = int(np.prod(ebox[:-1])) if dim > 1 else 1
+            kz = max(1, min(ebox[-1], 65536 // max(Bslab, 1)))
+            Gm = Gv = None
+            for z0 in range(0, ebox[-1], kz):
+                zext = min(kz, ebox[-1] - z0)
+                Bc = Bslab * zext
+                cshape = tuple(ebox[:-1]) + (zext,)
+                jm = np.unravel_index(np.arange(Bc), cshape, order="F")
+                ids = jnp.zeros((Bc,), jnp.int32)
+                valid = jnp.ones((Bc,), bool)
+                stride = 1
+                for d in range(dim):
+                    jd = jnp.asarray(jm[d], jnp.int32)
+                    if d == dim - 1:
+                        jd = jd + z0
+                    idx = e0[d] + jd
+                    valid = valid & (jd < cnt[d])
+                    ids = ids + jnp.clip(idx, 0, eshape[d] - 1) * stride
+                    stride *= eshape[d]
+                Ke, Fe, _ = elem_KF(ids, valid, None, system)
+                Keb = Ke.reshape(Bc, nen, dof, nen, dof).transpose(
+                    0, 1, 3, 2, 4
+                )
+                Gm, Gv = fastpath.accumulate_box(
+                    sp, ebox, Keb, Fe.reshape(Bc, nen, dof), z0, Gm, Gv
+                )
             origs = []
             for g in range(dim):
                 d = dim - 1 - g

@@ -48,14 +48,22 @@ def clone_f64(space):
 
 def _fix_rhs(sp64, A64, b):
     """Dirichlet elimination on an f64 load vector, mirroring the
-    assembled post-fix (b -= A·lift; fixed rows = mult·v)."""
+    assembled post-fix (b -= A·lift; fixed rows = mult·v).  Jitted:
+    the matrix-free apply dispatched eagerly costs one remote round
+    trip per op on this backend."""
     mask, vals = sp64.device("dirichlet")
-    mask = mask.astype(b.dtype)
-    vals = vals.astype(b.dtype)
     mult = jnp.asarray(_node_multiplicity(sp64), b.dtype)
-    lift = mask * vals
-    b2 = b - A64.matvec(lift).reshape(b.shape)
-    return jnp.where(mask > 0, mult[:, None] * vals, b2 * (1.0 - mask))
+
+    @jax.jit
+    def fix(b, mask, vals, mult):
+        mask = mask.astype(b.dtype)
+        vals = vals.astype(b.dtype)
+        lift = mask * vals
+        b2 = b - A64.matvec(lift).reshape(b.shape)
+        return jnp.where(mask > 0, mult[:, None] * vals,
+                         b2 * (1.0 - mask))
+
+    return fix(b, mask, vals, mult)
 
 
 def assemble_rhs_f64(sp64, A64, forcing: Callable, *, chunk=None):
@@ -123,21 +131,23 @@ def refined_solve(
         A64 = MatFreeOperator(sp64, c=c, kappa=kappa, C=C, Kmat=Kmat,
                               zchunk=zchunk)
     dinv = op.packed_diag_inv()
-    DT = op.DT
 
+    # DT / dinv / b64 enter as jit ARGUMENTS: a closure over the packed
+    # planes embeds them as an HLO constant — GBs in the compile
+    # request at 256³ (see PallasStencilOperator.matvec_packed)
     @jax.jit
-    def inner(r32):
+    def inner(DT, dv, r32):
         res = cg(
             lambda v: op.matvec_xb(DT, v),
             op.pack_vec(r32),
-            M=lambda z: z * dinv,
+            M=lambda z: z * dv,
             rtol=rtol_inner,
             maxiter=maxiter_inner,
         )
         return op.unpack_vec(res.x), res.iters
 
     @jax.jit
-    def residual(x64):
+    def residual(b64, x64):
         r = b64 - A64.matvec(x64).reshape(b64.shape)
         return r, jnp.sqrt(jnp.vdot(r, r).real)
 
@@ -146,15 +156,15 @@ def refined_solve(
     hist = []
     iters = []
     for _ in range(max_refine):
-        r, rn = residual(x)
+        r, rn = residual(b64, x)
         rn = float(rn)
         hist.append(rn)
         if rn <= rtol * bnorm:
             break
-        e32, it = inner(r.astype(jnp.float32))
+        e32, it = inner(op.DT, dinv, r.astype(jnp.float32))
         iters.append(int(it))
         x = x + e32.astype(jnp.float64)
-    r, rn = residual(x)
+    r, rn = residual(b64, x)
     hist.append(float(rn))
     return x, {
         "residuals": hist,
