@@ -610,3 +610,35 @@ def test_conv_cahnhilliard_jacobian():
         np.asarray(J2.matvec(x)), np.asarray(Jref2.matvec(x)),
         atol=1e-8 * float(jnp.max(jnp.abs(Jref2.matvec(x)))),
     )
+
+
+def test_conv_periodic_end_to_end_solve():
+    """Periodic conv assembly end to end: manufactured torus solution
+    -Δu + u = f, packed-kernel CG solve, L2 at the discretization
+    order (the flagship periodic transient class's operator path)."""
+    from petiga_tpu.solve.krylov import cg
+    from petiga_tpu.assembly.assemble import compute_error_norm
+
+    errs = []
+    for nel in (8, 16):
+        sp = _periodic_space(2, nel, (True, True))
+
+        def exact(x):
+            return jnp.sin(2 * jnp.pi * x[..., 0]) * jnp.cos(
+                2 * jnp.pi * x[..., 1]
+            )
+
+        op, b = assemble_coefficient_planes(
+            sp, poisson_coefficients, {"c": 1.0, "k": 1.0},
+            forcing=lambda x, ctx: (1.0 + 8 * jnp.pi**2) * exact(x),
+            apply_fix=False, interpret=True, conv_min=8,
+        )
+        dinv = op.packed_diag_inv()
+        r = cg(lambda v: op.matvec_xb(op.DT, v), op.pack_vec(b),
+               M=lambda z: z * dinv, rtol=1e-12, maxiter=2000)
+        x = op.unpack_vec(r.x)
+        errs.append(float(compute_error_norm(
+            sp, x, lambda xx: exact(xx), k=0
+        )))
+    rate = np.log2(errs[0] / errs[1])
+    assert errs[1] < 3e-4 and rate > 2.5, (errs, rate)
