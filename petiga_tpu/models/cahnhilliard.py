@@ -146,12 +146,15 @@ def jacobian_coefficients(x, ctx, fields):
     conv engine.  Pass ``fields={"c": (C, 2)}``; ``ctx["shift"]`` adds
     the ∂/∂c_t mass term of the α scheme.
 
-    J(w, v) = shift·w v + ∇w·∇v t1 + (∇v·∇c)(∂t1/∂c) w
-              + (∇v·∇c) M' Δw + Δv M Δw + Δv M' Δc w
-    with t1 = Mμ' + M'Δc (rows = test v, cols = trial w).
+    J(w, v) = shift·w v + s·[∇w·∇v t1 + (∇v·∇c)(∂t1/∂c) w
+              + (∇v·∇c) M' Δw + Δv M Δw + Δv M' Δc w]
+    with t1 = Mμ' + M'Δc (rows = test v, cols = trial w) and
+    ``s = ctx["scale"]`` the α-scheme chain factor α_f (spatial terms
+    differentiate through U_αf = U0 + α_f (X - U0)).
     """
     theta, alpha = ctx["theta"], ctx["alpha"]
     shift = ctx.get("shift", 0.0)
+    scale = ctx.get("scale", 1.0)
     dim = x.shape[-1]
     c = fields["c"]
     gc = fields["c_grad"]
@@ -167,10 +170,144 @@ def jacobian_coefficients(x, ctx, fields):
     if not isinstance(shift, (int, float)) or shift != 0.0:
         ch[(0, 0)] = shift
     for d in range(dim):
-        ch[(d + 1, d + 1)] = t1
-        ch[(d + 1, 0)] = gc[..., d] * dt1
-        ch[((d, d), 0)] = dM * d2c
+        ch[(d + 1, d + 1)] = scale * t1
+        ch[(d + 1, 0)] = scale * gc[..., d] * dt1
+        ch[((d, d), 0)] = scale * dM * d2c
         for e in range(dim):
-            ch[(d + 1, (e, e))] = gc[..., d] * dM
-            ch[((d, d), (e, e))] = M
+            ch[(d + 1, (e, e))] = scale * gc[..., d] * dM
+            ch[((d, d), (e, e))] = scale * M
     return ch
+
+
+def run_conv(
+    space,
+    U0,
+    *,
+    theta=1.5,
+    alpha=3000.0,
+    cbar=0.63,
+    dt=1e-11,
+    nsteps=2,
+    rho_inf=0.5,
+    rtol_newton=1e-6,
+    max_newton=8,
+    rtol_inner=1e-8,
+    monitor=None,
+):
+    """Generalized-α integration with the Jacobian CONV-ASSEMBLED each
+    Newton iteration (order-2 channels + value/grad/Hessian state
+    fields) — the large-scale route for the flagship transient class:
+    per-step work is a handful of MXU conv assemblies + packed-kernel
+    BiCGStab solves, no scatter anywhere.  Same α-scheme algebra as
+    :class:`~petiga_tpu.solve.ts.AlphaStepper` (TSALPHA,
+    petigats.c:23-90); state/iterate vectors enter every cached
+    executable as jit arguments, so steps after the first trace
+    nothing.
+
+    Returns ``(U, stats_log)`` like :func:`run`."""
+    import jax
+
+    from ..assembly.assemble import assemble_function
+    from ..assembly.convform import assemble_coefficient_planes
+    from ..solve.krylov import bicgstab
+
+    sp = space
+    r = rho_inf
+    am = 0.5 * (3 - r) / (1 + r)
+    af = 1.0 / (1 + r)
+    g = 0.5 + am - af
+    ctx = {"theta": theta, "alpha": alpha, "cbar": cbar}
+
+    def alpha_form(pt, Xe, aux_e, c):
+        U0e, V0e = aux_e["U0"], aux_e["V0"]
+        dts = c["dt"]
+        V1e = (Xe - U0e) / (g * dts) + (1 - 1 / g) * V0e
+        Uaf = U0e + af * (Xe - U0e)
+        Vam = V0e + am * (V1e - V0e)
+        shift = am * af / (g * dts)
+        return residual(pt, shift, Vam, c["t"], Uaf, c)
+
+    def jac(Uaf, shift):
+        J, _ = assemble_coefficient_planes(
+            sp, jacobian_coefficients,
+            {"theta": theta, "alpha": alpha, "shift": shift,
+             "scale": af},
+            fields={"c": (Uaf, 2)}, apply_fix=False,
+        )
+        return J
+
+    solve_cache = {}
+
+    def lin_solve(J, R):
+        key = J.kind
+        fn = solve_cache.get(key)
+        if fn is None:
+            @jax.jit
+            def fn(DT, rr):
+                dv = J.packed_diag_inv_of(DT)
+                res = bicgstab(
+                    lambda v: J.matvec_xb(DT, v), J.pack_vec(rr),
+                    M=lambda z: z * dv, rtol=rtol_inner, maxiter=2000,
+                )
+                return J.unpack_vec(res.x), res.iters
+
+            solve_cache[key] = fn
+        return fn(J.DT, -R)
+
+    def newton_step(U, V, t, dts):
+        cstep = dict(ctx)
+        cstep["t"] = jnp.asarray(t, sp.dtype)
+        cstep["dt"] = jnp.asarray(dts, sp.dtype)
+        shift = jnp.asarray(am * af / (g * dts), sp.dtype)
+        X = U
+        rnorm0 = None
+        for _ in range(max_newton):
+            R = assemble_function(
+                sp, alpha_form, X, cstep, aux={"U0": U, "V0": V}
+            )
+            rn = float(jnp.linalg.norm(R))
+            if rnorm0 is None:
+                rnorm0 = max(rn, 1e-30)
+            if rn <= rtol_newton * rnorm0:
+                break
+            Uaf = (U + af * (X - U)).reshape(-1)
+            J = jac(Uaf, shift)
+            dX, _ = lin_solve(J, R)
+            X = X + dX
+        V1 = (X - U) / (g * dts) + (1 - 1 / g) * V
+        return X, V1
+
+    stats_fn = jax.jit(
+        lambda U: compute_scalar(space, free_energy_stats, U, ctx,
+                                 order=1)
+    )
+    # consistent initial velocity: M V0 = -R_spatial(U0) (linear in V)
+    def v0_res(pt, Xe, aux_e, c):
+        return residual(pt, 1.0, jnp.zeros_like(Xe), 0.0, aux_e["U0"], c)
+
+    Rsp = assemble_function(sp, v0_res, jnp.zeros_like(U0), ctx,
+                            aux={"U0": U0})
+    Mop, _ = assemble_coefficient_planes(
+        sp, lambda x, c: {(0, 0): 1.0}, apply_fix=False,
+    )
+    from ..solve.krylov import cg as _cg
+
+    @jax.jit
+    def msolve(DT, rr):
+        dv = Mop.packed_diag_inv_of(DT)
+        res = _cg(lambda v: Mop.matvec_xb(DT, v), Mop.pack_vec(rr),
+                  M=lambda z: z * dv, rtol=1e-12, maxiter=2000)
+        return Mop.unpack_vec(res.x)
+
+    V = msolve(Mop.DT, -Rsp)
+    U = U0
+    t = 0.0
+    stats_log = []
+    for step in range(nsteps):
+        U, V = newton_step(U, V, t, dt)
+        t += dt
+        s = np.asarray(stats_fn(U))
+        stats_log.append((step + 1, t, *s))
+        if monitor is not None:
+            monitor(step + 1, t, U, s)
+    return U, stats_log

@@ -35,3 +35,24 @@ def test_residual_order2_shapes():
     assert sp.order >= 2
     assert all(ax.periodic for ax in sp.axes)
     assert all(ax.continuity == 1 for ax in sp.axes)
+
+
+def test_run_conv_matches_alpha_stepper():
+    """The conv-Jacobian α driver (run_conv) reproduces the one-program
+    AlphaStepper integration — same residual, same α algebra, Jacobian
+    via order-2 conv channels instead of AD."""
+    from petiga_tpu.models.cahnhilliard import (
+        initial_condition, make_space, run, run_conv,
+    )
+
+    sp = make_space(2, nel=6)
+    U0 = initial_condition(sp, seed=3)
+    Ua, loga = run(sp, U0, dt=1e-11, nsteps=2,
+                   newton_kw=dict(rtol=1e-10, linear_solver="bicgstab"))
+    Ub, logb = run_conv(sp, U0, dt=1e-11, nsteps=2, rtol_newton=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(Ub), np.asarray(Ua), atol=2e-9
+    )
+    np.testing.assert_allclose(
+        np.asarray(logb[-1][2:]), np.asarray(loga[-1][2:]), rtol=1e-7
+    )
