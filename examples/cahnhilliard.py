@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--t-end", type=float, default=None,
                     help="with --adaptive: integrate to this time")
     ap.add_argument("--adaptive", action="store_true")
+    ap.add_argument("--conv-jacobian", action="store_true",
+                    help="conv-assemble the Jacobian each Newton step "
+                         "(the large-scale MXU route, run_conv)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--vtk", default=None)
     ns = ap.parse_args(argv)
@@ -71,7 +74,8 @@ def main(argv=None):
             print(f"step {step:4d} t={t:.4e} energy={s[0]:.6e} "
                   f"mass={s[1]:.6e}")
 
-        U, _ = ch.run(space, U0, theta=ns.theta, alpha=ns.alpha,
+        runner = ch.run_conv if ns.conv_jacobian else ch.run
+        U, _ = runner(space, U0, theta=ns.theta, alpha=ns.alpha,
                       cbar=ns.cbar, dt=ns.dt, nsteps=ns.nsteps, monitor=mon)
 
     if ns.vtk:
