@@ -277,169 +277,176 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
     sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
     nnz = scalar_nnz(sp)
     out = {"nnz": nnz}
+    # record progress stage by stage: a failure keeps everything
+    # measured so far plus the error (r4 recorded only the error)
+    try:
 
-    # ---- stage 1: SYMMETRIC assembly (Ku=63 planes, 4.3 GB) + CG
-    def asm_sym(kval):
-        return assemble_coefficient_planes(
-            sp, poisson_coefficients, {"c": 0.0, "k": kval},
+        # ---- stage 1: SYMMETRIC assembly (Ku=63 planes, 4.3 GB) + CG
+        def asm_sym(kval):
+            return assemble_coefficient_planes(
+                sp, poisson_coefficients, {"c": 0.0, "k": kval},
+                forcing=forcing_c, donate_loop=True, symmetric=True,
+            )
+
+        barrier()
+        t0 = time.time()
+        op, b = asm_sym(jnp.float32(1.0))
+        barrier()
+        out["sym_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        del op, b
+        op, b = asm_sym(jnp.float32(1.000001))
+        barrier()
+        t_sym = time.time() - t0
+        out["assembly_sym_s"] = round(t_sym, 4)
+        out["assembly_sym_Mnnz_s"] = round(nnz / t_sym / 1e6, 1)
+        out["sym_planes"] = int(op.DT.shape[0])
+        out["sym_operator_gb"] = round(op.DT.nbytes / 2**30, 2)
+
+        solve, dinv = packed_solve_fns(op, solve_rtol)
+        x, iters, res = solve(op.DT, b, dinv)
+        iters = int(iters)
+        barrier()
+        t0 = time.time()
+        x, it2, res = solve(op.DT, b, dinv)
+        barrier()
+        t_solve = time.time() - t0
+        out["cg_iters"] = iters
+        out["cg_residual"] = float(res)
+        out["solve_s"] = round(t_solve, 3)
+        out["cg_ms_per_iter"] = round(1e3 * t_solve / max(iters, 1), 2)
+
+        t_mv = time_mv(op, b, n_lo=3, n_hi=23)
+        st = op.stencil
+        sol_sym = st.nnodes * ((st.K + 1) // 2) * 4 / 819e9
+        sol_full = st.nnodes * st.K * 4 / 819e9
+        out["spmv_sym_us"] = round(t_mv * 1e6, 1)
+        out["spmv_sym_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
+        out["spmv_sym_roofline_frac"] = round(sol_sym / t_mv, 3)
+        out["spmv_sym_vs_full_roofline"] = round(sol_full / t_mv, 3)
+
+        err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
+        out["l2_error"] = err
+
+        # ---- stage 2: mixed-precision refinement on the symmetric op
+        from petiga_tpu.solve.refine import (
+            assemble_rhs_f64,
+            clone_f64,
+            refined_solve,
+        )
+        from petiga_tpu.sparse.matfree import MatFreeOperator
+
+        barrier()
+        t0 = time.time()
+        sp64 = clone_f64(sp)
+        A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0, zchunk=16)
+
+        def f64forcing(xx):
+            return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
+
+        b64 = assemble_rhs_f64(sp64, A64, f64forcing, chunk=chunk)
+        x64, rinfo = refined_solve(
+            sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
+            rtol=1e-11, rtol_inner=1e-6, zchunk=16,
+        )
+        barrier()
+        out["refine_total_s"] = round(time.time() - t0, 2)
+        out["refine_passes"] = len(rinfo["inner_iters"])
+        out["refine_inner_iters"] = rinfo["inner_iters"]
+        out["refine_rel_residual"] = rinfo["relative_residual"]
+        err64 = float(
+            compute_error_norm(sp64, x64, exact_solution, k=0, chunk=chunk)
+        )
+        out["refined_l2_error"] = err64
+        del x64, b64, A64, sp64, solve, dinv
+
+        # ---- stage 3: FULL assembly (125 planes, 8.6 GB) + HBM-window
+        # kernel roofline (the rows=384 witness) + CG cross-check
+        del op
+        x_sym = x
+        del x
+
+        def asm_full(kval):
+            return assemble_coefficient_planes(
+                sp, poisson_coefficients, {"c": 0.0, "k": kval},
+                forcing=forcing_c, donate_loop=True,
+            )
+
+        barrier()
+        t0 = time.time()
+        op, b = asm_full(jnp.float32(1.0))
+        barrier()
+        out["full_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        del op, b
+        op, b = asm_full(jnp.float32(1.000001))
+        barrier()
+        t_full = time.time() - t0
+        out["assembly_s"] = round(t_full, 4)
+        out["assembly_Mnnz_s"] = round(nnz / t_full / 1e6, 1)
+        out["pallas_kind"] = op.kind
+        out["pallas_rows"] = int(op.rows)
+
+        t_mv = time_mv(op, b, n_lo=3, n_hi=23)
+        out["spmv_pallas_us"] = round(t_mv * 1e6, 1)
+        out["spmv_pallas_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
+        out["spmv_pallas_roofline_frac"] = round(sol_full / t_mv, 3)
+
+        solve, dinv = packed_solve_fns(op, solve_rtol)
+        xf, itf, resf = solve(op.DT, b, dinv)
+        out["cg_full_iters"] = int(itf)
+        out["full_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xf - x_sym)))
+        del op, b, xf, solve, dinv
+
+        # ---- stage 4: matrix-free cross-check
+        A = MatFreeOperator(sp, c=0.0, kappa=1.0, zchunk=16)
+        minv = 1.0 / A.scalar_diagonal()
+        from petiga_tpu.solve.krylov import cg as cg_
+
+        bmf = assemble_coefficient_planes(
+            sp, poisson_coefficients, {"c": 0.0, "k": jnp.float32(1.0)},
             forcing=forcing_c, donate_loop=True, symmetric=True,
-        )
+        )[1]
 
-    barrier()
-    t0 = time.time()
-    op, b = asm_sym(jnp.float32(1.0))
-    barrier()
-    out["sym_compile_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    del op, b
-    op, b = asm_sym(jnp.float32(1.000001))
-    barrier()
-    t_sym = time.time() - t0
-    out["assembly_sym_s"] = round(t_sym, 4)
-    out["assembly_sym_Mnnz_s"] = round(nnz / t_sym / 1e6, 1)
-    out["sym_planes"] = int(op.DT.shape[0])
-    out["sym_operator_gb"] = round(op.DT.nbytes / 2**30, 2)
+        @jax.jit
+        def solve_mf(b):
+            r = cg_(A, b, M=lambda z: z * minv, rtol=solve_rtol, maxiter=2000)
+            return r.x, r.iters, r.residual
 
-    solve, dinv = packed_solve_fns(op, solve_rtol)
-    x, iters, res = solve(op.DT, b, dinv)
-    iters = int(iters)
-    barrier()
-    t0 = time.time()
-    x, it2, res = solve(op.DT, b, dinv)
-    barrier()
-    t_solve = time.time() - t0
-    out["cg_iters"] = iters
-    out["cg_residual"] = float(res)
-    out["solve_s"] = round(t_solve, 3)
-    out["cg_ms_per_iter"] = round(1e3 * t_solve / max(iters, 1), 2)
+        xm, itm, resm = solve_mf(bmf)
+        itm = int(itm)
+        barrier()
+        t0 = time.time()
+        xm, itm2, resm = solve_mf(bmf * 1.0000001)
+        barrier()
+        out["matfree_solve_s"] = round(time.time() - t0, 3)
+        out["matfree_iters"] = itm
+        out["matfree_residual"] = float(resm)
+        out["matfree_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xm - x_sym)))
+        del A, xm, bmf, x_sym
 
-    t_mv = time_mv(op, b, n_lo=3, n_hi=23)
-    st = op.stencil
-    sol_sym = st.nnodes * ((st.K + 1) // 2) * 4 / 819e9
-    sol_full = st.nnodes * st.K * 4 / 819e9
-    out["spmv_sym_us"] = round(t_mv * 1e6, 1)
-    out["spmv_sym_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
-    out["spmv_sym_roofline_frac"] = round(sol_sym / t_mv, 3)
-    out["spmv_sym_vs_full_roofline"] = round(sol_full / t_mv, 3)
+        # ---- stage 5: pointwise generic assembly (comparison, 1 rep)
+        def asm_pw(kval):
+            return assemble_system_planes(
+                sp, poisson_system_q, {"c": 0.0, "k": kval},
+                chunk=chunk, order=1, donate_loop=True,
+            )
 
-    err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
-    out["l2_error"] = err
+        op_p, b_p = asm_pw(jnp.float32(1.0))
+        barrier()
+        t0 = time.time()
+        del op_p, b_p
+        op_p, b_p = asm_pw(jnp.float32(1.000001))
+        barrier()
+        t_pw = time.time() - t0
+        out["assembly_pointwise_s"] = round(t_pw, 4)
+        out["assembly_pointwise_Mnnz_s"] = round(nnz / t_pw / 1e6, 1)
+        del op_p, b_p
+        return out
+    except Exception as e:
+        out["error"] = f"{type(e).__name__}: {e}"[:300]
+        return out
 
-    # ---- stage 2: mixed-precision refinement on the symmetric op
-    from petiga_tpu.solve.refine import (
-        assemble_rhs_f64,
-        clone_f64,
-        refined_solve,
-    )
-    from petiga_tpu.sparse.matfree import MatFreeOperator
-
-    barrier()
-    t0 = time.time()
-    sp64 = clone_f64(sp)
-    A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0, zchunk=16)
-
-    def f64forcing(xx):
-        return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
-
-    b64 = assemble_rhs_f64(sp64, A64, f64forcing, chunk=chunk)
-    x64, rinfo = refined_solve(
-        sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
-        rtol=1e-11, rtol_inner=1e-6, zchunk=16,
-    )
-    barrier()
-    out["refine_total_s"] = round(time.time() - t0, 2)
-    out["refine_passes"] = len(rinfo["inner_iters"])
-    out["refine_inner_iters"] = rinfo["inner_iters"]
-    out["refine_rel_residual"] = rinfo["relative_residual"]
-    err64 = float(
-        compute_error_norm(sp64, x64, exact_solution, k=0, chunk=chunk)
-    )
-    out["refined_l2_error"] = err64
-    del x64, b64, A64, sp64, solve, dinv
-
-    # ---- stage 3: FULL assembly (125 planes, 8.6 GB) + HBM-window
-    # kernel roofline (the rows=384 witness) + CG cross-check
-    del op
-    x_sym = x
-    del x
-
-    def asm_full(kval):
-        return assemble_coefficient_planes(
-            sp, poisson_coefficients, {"c": 0.0, "k": kval},
-            forcing=forcing_c, donate_loop=True,
-        )
-
-    barrier()
-    t0 = time.time()
-    op, b = asm_full(jnp.float32(1.0))
-    barrier()
-    out["full_compile_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    del op, b
-    op, b = asm_full(jnp.float32(1.000001))
-    barrier()
-    t_full = time.time() - t0
-    out["assembly_s"] = round(t_full, 4)
-    out["assembly_Mnnz_s"] = round(nnz / t_full / 1e6, 1)
-    out["pallas_kind"] = op.kind
-    out["pallas_rows"] = int(op.rows)
-
-    t_mv = time_mv(op, b, n_lo=3, n_hi=23)
-    out["spmv_pallas_us"] = round(t_mv * 1e6, 1)
-    out["spmv_pallas_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
-    out["spmv_pallas_roofline_frac"] = round(sol_full / t_mv, 3)
-
-    solve, dinv = packed_solve_fns(op, solve_rtol)
-    xf, itf, resf = solve(op.DT, b, dinv)
-    out["cg_full_iters"] = int(itf)
-    out["full_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xf - x_sym)))
-    del op, b, xf, solve, dinv
-
-    # ---- stage 4: matrix-free cross-check
-    A = MatFreeOperator(sp, c=0.0, kappa=1.0, zchunk=16)
-    minv = 1.0 / A.scalar_diagonal()
-    from petiga_tpu.solve.krylov import cg as cg_
-
-    bmf = assemble_coefficient_planes(
-        sp, poisson_coefficients, {"c": 0.0, "k": jnp.float32(1.0)},
-        forcing=forcing_c, donate_loop=True, symmetric=True,
-    )[1]
-
-    @jax.jit
-    def solve_mf(b):
-        r = cg_(A, b, M=lambda z: z * minv, rtol=solve_rtol, maxiter=2000)
-        return r.x, r.iters, r.residual
-
-    xm, itm, resm = solve_mf(bmf)
-    itm = int(itm)
-    barrier()
-    t0 = time.time()
-    xm, itm2, resm = solve_mf(bmf * 1.0000001)
-    barrier()
-    out["matfree_solve_s"] = round(time.time() - t0, 3)
-    out["matfree_iters"] = itm
-    out["matfree_residual"] = float(resm)
-    out["matfree_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xm - x_sym)))
-    del A, xm, bmf, x_sym
-
-    # ---- stage 5: pointwise generic assembly (comparison, 1 rep)
-    def asm_pw(kval):
-        return assemble_system_planes(
-            sp, poisson_system_q, {"c": 0.0, "k": kval},
-            chunk=chunk, order=1, donate_loop=True,
-        )
-
-    op_p, b_p = asm_pw(jnp.float32(1.0))
-    barrier()
-    t0 = time.time()
-    del op_p, b_p
-    op_p, b_p = asm_pw(jnp.float32(1.000001))
-    barrier()
-    t_pw = time.time() - t0
-    out["assembly_pointwise_s"] = round(t_pw, 4)
-    out["assembly_pointwise_Mnnz_s"] = round(nnz / t_pw / 1e6, 1)
-    del op_p, b_p
-    return out
 
 
 def main():

@@ -838,15 +838,13 @@ def assemble_coefficient_planes(
             scomp.append(rem % sKd)
             rem = rem // sKd
 
-        def outer_planes(run_ctx, facs):
-            """(Keff, dof², Ne_rev...) planes by channel-weighted outer
-            products of the 1-D factor rows — pure broadcast FMAs, one
-            streaming write of the output."""
+        def _outer_factors(run_ctx, facs):
+            """Per-channel (value, per-grid-axis (Keff, Ne_d) factor
+            rows) — padded to the extended grid."""
             chv = coef(jnp.zeros((1, dim), dt), run_ctx)
-            grid_sh = tuple(Ne[::-1])
-            P = None
+            out = []
             for (i, j) in chlist:
-                val = jnp.asarray(chv[(i, j)], dt).reshape(-1)  # dof² or 1
+                val = jnp.asarray(chv[(i, j)], dt).reshape(-1)  # dof²|1
                 oi = _chan_orders(i, dim)
                 oj = _chan_orders(j, dim)
                 fgs = []
@@ -859,6 +857,15 @@ def assemble_coefficient_planes(
                         ((0, 0), (los[d], Ne[d] - N[d] - los[d])),
                     )
                     fgs.append(Fk)
+                out.append((val, fgs))
+            return out
+
+        def outer_planes(run_ctx, facs):
+            """(Keff, dof², Ne_rev...) planes by channel-weighted outer
+            products of the 1-D factor rows — pure broadcast FMAs, one
+            streaming write of the output."""
+            P = None
+            for val, fgs in _outer_factors(run_ctx, facs):
                 t0 = fgs[0]
                 for g in range(1, dim):
                     t0 = t0[..., None] * fgs[g].reshape(
@@ -871,6 +878,34 @@ def assemble_coefficient_planes(
                 )
                 P = term if P is None else P + term
             return P
+
+        def outer_planes_rows(run_ctx, facs):
+            """Row-aligned (Keff, M, 128) outer-product write in z
+            chunks: grid-shaped materialization of the full planes
+            lane-pads the minor spatial dim ~1.5× and relayouts — an
+            instant OOM at 256³ (the row_aligned lesson, BASELINE.md).
+            Each chunk is a (Keff, zc, Ney, Nex) block set into whole
+            (·, 128) rows of the flat buffer — sequential in-place
+            updates of one allocation."""
+            chans = _outer_factors(run_ctx, facs)
+            Nez = Ne[dim - 1]
+            zc = max(1, (256 * 2**20) //
+                     max(Keff * rpz * 128 * jnp.dtype(dt).itemsize, 1))
+            Pg = jnp.zeros((Keff, int(np.prod(Ne)) // 128, 128), dt)
+            for z0 in range(0, Nez, zc):
+                ze = min(zc, Nez - z0)
+                blk = None
+                for val, fgs in chans:
+                    t0 = fgs[0][:, z0:z0 + ze]
+                    for g in range(1, dim):
+                        t0 = t0[..., None] * fgs[g].reshape(
+                            (Keff,) + (1,) * g + (Ne[dim - 1 - g],)
+                        )
+                    term = val.reshape((1,) + (1,) * dim) * t0
+                    blk = term if blk is None else blk + term
+                blk = blk.reshape(Keff, ze * rpz, 128)
+                Pg = Pg.at[:, z0 * rpz:(z0 + ze) * rpz, :].set(blk)
+            return Pg
 
     # type-combo boxes: large ones (the interior block + whole boundary
     # faces) run as convolutions with their own constant kernels; small
@@ -1425,9 +1460,10 @@ def assemble_coefficient_planes(
         """Initial (planes, load) accumulators: zeros, or the exact
         outer-product planes for constant-coefficient specs."""
         if use_outer:
-            Pg = outer_planes(run_ctx, facs)
             if row_aligned:
-                Pg = Pg.reshape(Keff, int(np.prod(Ne)) // 128, 128)
+                Pg = outer_planes_rows(run_ctx, facs)
+            else:
+                Pg = outer_planes(run_ctx, facs)
         elif row_aligned:
             Pg = jnp.zeros((Keff, int(np.prod(Ne)) // 128, 128), dt)
         else:
