@@ -338,18 +338,23 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
 
         barrier()
         t0 = time.time()
+        out["stage"] = "refine:clone"
         sp64 = clone_f64(sp)
         A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0, zchunk=16)
 
         def f64forcing(xx):
             return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
 
+        out["stage"] = "refine:rhs"
         b64 = assemble_rhs_f64(sp64, A64, f64forcing, chunk=chunk)
+        barrier()
+        out["stage"] = "refine:solve"
         x64, rinfo = refined_solve(
             sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
             rtol=1e-11, rtol_inner=1e-6, zchunk=16,
         )
         barrier()
+        out["stage"] = "refine:errnorm"
         out["refine_total_s"] = round(time.time() - t0, 2)
         out["refine_passes"] = len(rinfo["inner_iters"])
         out["refine_inner_iters"] = rinfo["inner_iters"]
@@ -372,6 +377,7 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
                 forcing=forcing_c, donate_loop=True,
             )
 
+        out["stage"] = "full"
         barrier()
         t0 = time.time()
         op, b = asm_full(jnp.float32(1.0))
@@ -413,6 +419,7 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
             r = cg_(A, b, M=lambda z: z * minv, rtol=solve_rtol, maxiter=2000)
             return r.x, r.iters, r.residual
 
+        out["stage"] = "matfree"
         xm, itm, resm = solve_mf(bmf)
         itm = int(itm)
         barrier()

@@ -26,6 +26,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..assembly.assemble import _node_multiplicity, assemble_vector
 from ..sparse.matfree import MatFreeOperator
@@ -53,13 +54,19 @@ def _fix_rhs(sp64, A64, b):
     trip per op on this backend."""
     mask, vals = sp64.device("dirichlet")
     mult = jnp.asarray(_node_multiplicity(sp64), b.dtype)
+    # homogeneous BCs (the common case): the lift is identically zero,
+    # so skip the A·lift matvec entirely
+    homogeneous = not bool(np.any(np.asarray(vals)))
 
     @jax.jit
     def fix(b, mask, vals, mult):
         mask = mask.astype(b.dtype)
         vals = vals.astype(b.dtype)
-        lift = mask * vals
-        b2 = b - A64.matvec(lift).reshape(b.shape)
+        if homogeneous:
+            b2 = b
+        else:
+            lift = mask * vals
+            b2 = b - A64.matvec(lift).reshape(b.shape)
         return jnp.where(mask > 0, mult[:, None] * vals,
                          b2 * (1.0 - mask))
 
@@ -70,24 +77,18 @@ def assemble_rhs_f64(sp64, A64, forcing: Callable, *, chunk=None):
     """f64 load vector ``b_a = ∫ f N_a`` with assembled-style Dirichlet
     elimination; ``forcing(x) -> scalar`` at a physical point.
 
-    Eligible spaces use the conv (scatter-free) load assembler — the
-    scatter-based f64 path crashes libtpu at 256³."""
-    from ..assembly import fastpath
-    from ..assembly.convform import assemble_load_vector
-
-    use_conv = (
-        not any(sp64.periodic)
-        and not sp64.collocation
-        and fastpath.is_unit_step(sp64)
+    Eligible spaces ride the matrix-free operator's windowed
+    sum-factorized load (``MatFreeOperator.load_vector``): the earlier
+    f64 conv load OOMed at 256³ (XLA materializes non-MXU f64 conv
+    patches — multi-GB scratch) and the scatter-based f64 path crashes
+    libtpu there."""
+    use_mf = (
+        not sp64.collocation
         and not (sp64.has_geometry or sp64.is_rational)
         and sp64.dof == 1
     )
-    if use_conv:
-        def bforce(X, ctx):  # pointwise f lifted to the batched grid
-            flat = X.reshape(-1, X.shape[-1])
-            return jax.vmap(forcing)(flat).reshape(X.shape[:-1])
-
-        b = assemble_load_vector(sp64, bforce)
+    if use_mf:
+        b = jax.jit(lambda: A64.load_vector(forcing))()
     else:
         def vecform(pt, ctx):
             return forcing(pt.x) * pt.shape0

@@ -474,6 +474,70 @@ class MatFreeOperator:
     def __matmul__(self, x):
         return self.matvec(x)
 
+    def load_vector(self, forcing):
+        """Load vector ``b_a = ∫ f N_a`` by the same windowed
+        sum-factorized contractions as the matvec (``forcing(x) ->
+        scalar`` at a physical point).  This replaces the f64 conv load
+        at scale: XLA lowers non-MXU (f64) convolutions via patch
+        materialization — multi-GB scratch at 256³ — while these are
+        plain (emulated-f64-capable) dots.  Identity map, dof = 1."""
+        sp = self.space
+        if sp.geometry is not None or sp.dof != 1:
+            raise ValueError("load_vector: identity map, dof=1 only")
+        dim = sp.dim
+        dt = sp.dtype
+        E = sp.elem_shape
+        nq = [t.nqp for t in sp.tabs]
+        pts = [jnp.asarray(t.point, dt) for t in sp.tabs]  # (E_d, Q_d)
+
+        def fvals(zslice=None):
+            """(E_rev..., q_rev...) forcing values (slowest axis
+            windowed)."""
+            Ez = E[dim - 1] if zslice is None else zslice[1]
+            shape = ((Ez,) + tuple(E[:-1][::-1])
+                     + tuple(nq[::-1]))
+            comps = []
+            for d in range(dim):
+                P = pts[d]
+                if d == dim - 1 and zslice is not None:
+                    P = jax.lax.dynamic_slice_in_dim(
+                        P, zslice[0], zslice[1], 0
+                    )
+                g = dim - 1 - d
+                sh = [1] * (2 * dim)
+                sh[g] = P.shape[0]
+                sh[dim + g] = P.shape[1]
+                comps.append(jnp.broadcast_to(P.reshape(sh), shape))
+            X = jnp.stack(comps, axis=-1)
+            f = jax.vmap(forcing)(X.reshape(-1, dim))
+            return f.reshape(shape)
+
+        with jax.default_matmul_precision("highest"):
+            if self.zchunk is None:
+                acc = self._weights() * fvals()
+                tabs = self._field_tabs()[0][1]
+                ye = self._contract_T(acc, tabs)
+                return self._scatter(ye).reshape(sp.nnodes, 1)
+            kz = self.zchunk
+            Ez = E[dim - 1]
+            s_z = self.steps[dim - 1]
+            p_z = sp.degrees[dim - 1]
+            Wz = s_z * (kz - 1) + 1 + p_z
+            N = sp.node_shape
+            yg = jnp.zeros(tuple(N[::-1]), dt)
+            for ci in range(Ez // kz):
+                zsl = (ci * kz, kz)
+                acc = self._weights(zsl) * fvals(zsl)
+                tabs = self._field_tabs(zsl)[0][1]
+                ye = self._contract_T(acc, tabs)
+                yw = self._scatter_win(ye, kz, Wz)
+                z0 = self.off0[dim - 1] + ci * kz * s_z
+                cur = jax.lax.dynamic_slice_in_dim(yg, z0, Wz, axis=0)
+                yg = jax.lax.dynamic_update_slice_in_dim(
+                    yg, cur + yw, z0, axis=0
+                )
+            return yg.reshape(sp.nnodes, 1)
+
     def scalar_diagonal(self):
         with jax.default_matmul_precision("highest"):
             return self._scalar_diagonal_impl()
