@@ -178,3 +178,27 @@ def test_jacobian_free_operator_matches_assembled():
     np.testing.assert_allclose(
         np.asarray(op.matvec(v)), np.asarray(J.matvec(v)), atol=1e-12
     )
+
+
+def test_matfree_load_vector_matches_assembled():
+    """MatFreeOperator.load_vector (windowed sum-factorized f64 load —
+    the 256³ refine rhs path) matches the generic tabulated load."""
+    from petiga_tpu.assembly.assemble import assemble_vector
+    from petiga_tpu.models.poisson import make_space
+
+    for dim, nel, zc in ((2, 7, None), (3, 6, 2), (3, 8, 4)):
+        sp = make_space(dim, p=2, nel=nel, dtype=jnp.float64)
+        A = MatFreeOperator(sp, c=0.0, kappa=1.0, zchunk=zc)
+
+        def forcing(x):
+            return jnp.prod(jnp.sin(jnp.pi * x)) + x[0]
+
+        b = A.load_vector(forcing)
+
+        def vecform(pt, ctx):
+            return forcing(pt.x) * pt.shape0
+
+        bref = assemble_vector(sp, vecform, order=0)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(bref), atol=1e-14
+        )
