@@ -492,7 +492,7 @@ class MatFreeOperator:
 
         def fvals(zslice=None):
             """(E_rev..., q_rev...) forcing values (slowest axis
-            windowed)."""
+            windowed; the start index may be traced)."""
             Ez = E[dim - 1] if zslice is None else zslice[1]
             shape = ((Ez,) + tuple(E[:-1][::-1])
                      + tuple(nq[::-1]))
@@ -518,14 +518,18 @@ class MatFreeOperator:
                 tabs = self._field_tabs()[0][1]
                 ye = self._contract_T(acc, tabs)
                 return self._scatter(ye).reshape(sp.nnodes, 1)
+            # one fori_loop body (like _apply_field_chunked): an
+            # unrolled python loop at 256³ crashed the remote compile
+            # helper on program size
             kz = self.zchunk
             Ez = E[dim - 1]
             s_z = self.steps[dim - 1]
             p_z = sp.degrees[dim - 1]
             Wz = s_z * (kz - 1) + 1 + p_z
             N = sp.node_shape
-            yg = jnp.zeros(tuple(N[::-1]), dt)
-            for ci in range(Ez // kz):
+            yg0 = jnp.zeros(tuple(N[::-1]), dt)
+
+            def body(ci, yg):
                 zsl = (ci * kz, kz)
                 acc = self._weights(zsl) * fvals(zsl)
                 tabs = self._field_tabs(zsl)[0][1]
@@ -533,9 +537,11 @@ class MatFreeOperator:
                 yw = self._scatter_win(ye, kz, Wz)
                 z0 = self.off0[dim - 1] + ci * kz * s_z
                 cur = jax.lax.dynamic_slice_in_dim(yg, z0, Wz, axis=0)
-                yg = jax.lax.dynamic_update_slice_in_dim(
+                return jax.lax.dynamic_update_slice_in_dim(
                     yg, cur + yw, z0, axis=0
                 )
+
+            yg = jax.lax.fori_loop(0, Ez // kz, body, yg0)
             return yg.reshape(sp.nnodes, 1)
 
     def scalar_diagonal(self):
