@@ -520,9 +520,19 @@ class MatFreeOperator:
                 return self._scatter(ye).reshape(sp.nnodes, 1)
             # one fori_loop body (like _apply_field_chunked): an
             # unrolled python loop at 256³ crashed the remote compile
-            # helper on program size
-            kz = self.zchunk
+            # helper on program size — and so does a >~10M-point f64
+            # chunk body (compiler-side failure at 28M, passes at 7M),
+            # so the load caps its own slab depth
             Ez = E[dim - 1]
+            per_slab = 1
+            for d in range(dim - 1):
+                per_slab *= E[d]
+            for n in nq:
+                per_slab *= n
+            kz = max(1, min(self.zchunk,
+                            int(8e6 // max(per_slab, 1)) or 1))
+            while Ez % kz:
+                kz -= 1
             s_z = self.steps[dim - 1]
             p_z = sp.degrees[dim - 1]
             Wz = s_z * (kz - 1) + 1 + p_z
