@@ -340,7 +340,10 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         t0 = time.time()
         out["stage"] = "refine:clone"
         sp64 = clone_f64(sp)
-        A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0, zchunk=16)
+        # zchunk=4: f64 chunk bodies beyond ~8M fine points fail
+        # server-side TPU compilation at 256^3 (emulated-f64 blowup)
+        A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0,
+                              zchunk=4 if nel >= 192 else 16)
 
         def f64forcing(xx):
             return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
@@ -351,7 +354,7 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["stage"] = "refine:solve"
         x64, rinfo = refined_solve(
             sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
-            rtol=1e-11, rtol_inner=1e-6, zchunk=16,
+            rtol=1e-11, rtol_inner=1e-6,
         )
         barrier()
         out["stage"] = "refine:errnorm"
