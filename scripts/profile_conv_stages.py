@@ -43,7 +43,8 @@ def main(NEL=64):
     dt = jnp.float32
     dim = 3
     chlist = [(1, 1), (2, 2), (3, 3)]
-    ker = cf._interior_kernel(sp, chlist, dt)
+    runs0 = [cf._axis_interior_run(sp.tabs[d])[0] for d in range(3)]
+    ker = cf._conv_kernel(sp, chlist, dt, tuple(runs0))
     dn = cf._dimension_numbers(dim)
     p = sp.degrees
     pad = [(p[d], p[d]) for d in range(dim)][::-1]
