@@ -233,6 +233,34 @@ def bench_128(chunk=131072, solve_rtol=1e-6, nel=128):
     err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
     out["l2_error"] = err
 
+    # ---- mixed-precision refinement witness at 128³ (f64-grade L2)
+    from petiga_tpu.solve.refine import (
+        assemble_rhs_f64, clone_f64, refined_solve,
+    )
+    from petiga_tpu.sparse.matfree import MatFreeOperator
+
+    barrier()
+    t0 = time.time()
+    sp64 = clone_f64(sp)
+    A64 = MatFreeOperator(sp64, c=0.0, kappa=1.0, zchunk=16)
+
+    def f64forcing(xx):
+        return 3 * jnp.pi**2 * jnp.prod(jnp.sin(jnp.pi * xx))
+
+    b64 = assemble_rhs_f64(sp64, A64, f64forcing, chunk=chunk)
+    x64, rinfo = refined_solve(
+        sp, op, b64, c=0.0, kappa=1.0, A64=A64, sp64=sp64,
+        rtol=1e-11, rtol_inner=1e-6,
+    )
+    barrier()
+    out["refine_total_s"] = round(time.time() - t0, 2)
+    out["refine_inner_iters"] = rinfo["inner_iters"]
+    out["refine_residuals"] = [float(v) for v in rinfo["residuals"]]
+    out["refined_l2_error"] = float(compute_error_norm(
+        sp, x64.astype(jnp.float32), exact_solution, k=0, chunk=chunk
+    ))
+    del x64, b64, A64, sp64
+
     # ---- pointwise q-batched generic assembly (comparison)
     def asm_pw(kval):
         return assemble_system_planes(
