@@ -284,9 +284,12 @@ def bench_128(chunk=131072, solve_rtol=1e-6, nel=128):
 
 
 def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
-    """Staged 256³ end-to-end: every stage frees its predecessor's
-    HBM before the next allocates (the r04 OOM held the 8.6 GB conv
-    operator through the refine stage)."""
+    """Staged 256³ end-to-end.  Stage order is memory-motivated: the
+    8.6 GB FULL-storage stage runs FIRST (cleanest allocator state —
+    r5 observed late-stage RESOURCE_EXHAUSTED on a worker that had been
+    through multi-GB churn), then the symmetric (4.3 GB) stage carries
+    the solve, refinement, and cross-checks.  Every stage frees its
+    predecessor's HBM before the next allocates."""
     from petiga_tpu.models.poisson import (
         exact_solution,
         make_space,
@@ -305,11 +308,53 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
     sp = make_space(3, p=2, nel=NEL, dtype=jnp.float32)
     nnz = scalar_nnz(sp)
     out = {"nnz": nnz}
+    rng = np.random.default_rng(0)
+    vprobe = jnp.asarray(
+        rng.normal(size=(sp.nnodes, 1)).astype(np.float32)
+    )
     # record progress stage by stage: a failure keeps everything
     # measured so far plus the error (r4 recorded only the error)
     try:
+        # ---- stage 1: FULL assembly (125 planes, 8.6 GB, matrix only)
+        # + the HBM-window kernel roofline (the rows=384 witness)
+        out["stage"] = "full"
 
-        # ---- stage 1: SYMMETRIC assembly (Ku=63 planes, 4.3 GB) + CG
+        def asm_full(kval):
+            return assemble_coefficient_planes(
+                sp, poisson_coefficients, {"c": 0.0, "k": kval},
+                donate_loop=True,
+            )
+
+        barrier()
+        t0 = time.time()
+        op, b = asm_full(jnp.float32(1.0))
+        barrier()
+        out["full_compile_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        del op, b
+        op, b = asm_full(jnp.float32(1.000001))
+        barrier()
+        t_full = time.time() - t0
+        out["assembly_s"] = round(t_full, 4)
+        out["assembly_Mnnz_s"] = round(nnz / t_full / 1e6, 1)
+        out["pallas_kind"] = op.kind
+        out["pallas_rows"] = int(op.rows)
+
+        t_mv = time_mv(op, vprobe, n_lo=3, n_hi=23)
+        st = op.stencil
+        sol_full = st.nnodes * st.K * 4 / 819e9
+        sol_sym = st.nnodes * ((st.K + 1) // 2) * 4 / 819e9
+        out["spmv_pallas_us"] = round(t_mv * 1e6, 1)
+        out["spmv_pallas_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
+        out["spmv_pallas_roofline_frac"] = round(sol_full / t_mv, 3)
+        # operator fingerprint on a fixed probe vector (the sym stage
+        # compares against this without both operators resident)
+        y_full = op.matvec_packed(op.DT, vprobe)
+        del op, b
+
+        # ---- stage 2: SYMMETRIC assembly (Ku=63, 4.3 GB) + CG
+        out["stage"] = "sym"
+
         def asm_sym(kval):
             return assemble_coefficient_planes(
                 sp, poisson_coefficients, {"c": 0.0, "k": kval},
@@ -331,6 +376,13 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["sym_planes"] = int(op.DT.shape[0])
         out["sym_operator_gb"] = round(op.DT.nbytes / 2**30, 2)
 
+        y_sym = op.matvec_packed(op.DT, vprobe)
+        out["full_vs_sym_matvec_rel"] = float(
+            jnp.max(jnp.abs(y_sym - y_full))
+            / jnp.max(jnp.abs(y_full))
+        )
+        del y_full, y_sym
+
         solve, dinv = packed_solve_fns(op, solve_rtol)
         x, iters, res = solve(op.DT, b, dinv)
         iters = int(iters)
@@ -345,18 +397,17 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["cg_ms_per_iter"] = round(1e3 * t_solve / max(iters, 1), 2)
 
         t_mv = time_mv(op, b, n_lo=3, n_hi=23)
-        st = op.stencil
-        sol_sym = st.nnodes * ((st.K + 1) // 2) * 4 / 819e9
-        sol_full = st.nnodes * st.K * 4 / 819e9
         out["spmv_sym_us"] = round(t_mv * 1e6, 1)
         out["spmv_sym_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
         out["spmv_sym_roofline_frac"] = round(sol_sym / t_mv, 3)
         out["spmv_sym_vs_full_roofline"] = round(sol_full / t_mv, 3)
 
-        err = float(compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk))
+        err = float(
+            compute_error_norm(sp, x, exact_solution, k=0, chunk=chunk)
+        )
         out["l2_error"] = err
 
-        # ---- stage 2: mixed-precision refinement on the symmetric op
+        # ---- stage 3: mixed-precision refinement on the symmetric op
         from petiga_tpu.solve.refine import (
             assemble_rhs_f64,
             clone_f64,
@@ -402,46 +453,10 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["refined_l2_error"] = err64
         del x64, b64, A64, sp64, solve, dinv
 
-        # ---- stage 3: FULL assembly (125 planes, 8.6 GB) + HBM-window
-        # kernel roofline (the rows=384 witness) + CG cross-check
-        del op
-        x_sym = x
-        del x
-
-        def asm_full(kval):
-            return assemble_coefficient_planes(
-                sp, poisson_coefficients, {"c": 0.0, "k": kval},
-                forcing=forcing_c, donate_loop=True,
-            )
-
-        out["stage"] = "full"
-        barrier()
-        t0 = time.time()
-        op, b = asm_full(jnp.float32(1.0))
-        barrier()
-        out["full_compile_s"] = round(time.time() - t0, 1)
-        t0 = time.time()
-        del op, b
-        op, b = asm_full(jnp.float32(1.000001))
-        barrier()
-        t_full = time.time() - t0
-        out["assembly_s"] = round(t_full, 4)
-        out["assembly_Mnnz_s"] = round(nnz / t_full / 1e6, 1)
-        out["pallas_kind"] = op.kind
-        out["pallas_rows"] = int(op.rows)
-
-        t_mv = time_mv(op, b, n_lo=3, n_hi=23)
-        out["spmv_pallas_us"] = round(t_mv * 1e6, 1)
-        out["spmv_pallas_gflops"] = round(2 * nnz / t_mv / 1e9, 1)
-        out["spmv_pallas_roofline_frac"] = round(sol_full / t_mv, 3)
-
-        solve, dinv = packed_solve_fns(op, solve_rtol)
-        xf, itf, resf = solve(op.DT, b, dinv)
-        out["cg_full_iters"] = int(itf)
-        out["full_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xf - x_sym)))
-        del op, b, xf, solve, dinv
-
         # ---- stage 4: matrix-free cross-check
+        out["stage"] = "matfree"
+        x_sym = x
+        del x, op, b
         A = MatFreeOperator(sp, c=0.0, kappa=1.0, zchunk=16)
         minv = 1.0 / A.scalar_diagonal()
         from petiga_tpu.solve.krylov import cg as cg_
@@ -453,10 +468,10 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
 
         @jax.jit
         def solve_mf(b):
-            r = cg_(A, b, M=lambda z: z * minv, rtol=solve_rtol, maxiter=2000)
+            r = cg_(A, b, M=lambda z: z * minv, rtol=solve_rtol,
+                    maxiter=2000)
             return r.x, r.iters, r.residual
 
-        out["stage"] = "matfree"
         xm, itm, resm = solve_mf(bmf)
         itm = int(itm)
         barrier()
@@ -466,10 +481,14 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["matfree_solve_s"] = round(time.time() - t0, 3)
         out["matfree_iters"] = itm
         out["matfree_residual"] = float(resm)
-        out["matfree_vs_sym_max_diff"] = float(jnp.max(jnp.abs(xm - x_sym)))
+        out["matfree_vs_sym_max_diff"] = float(
+            jnp.max(jnp.abs(xm - x_sym))
+        )
         del A, xm, bmf, x_sym
 
         # ---- stage 5: pointwise generic assembly (comparison, 1 rep)
+        out["stage"] = "pointwise"
+
         def asm_pw(kval):
             return assemble_system_planes(
                 sp, poisson_system_q, {"c": 0.0, "k": kval},
@@ -486,11 +505,11 @@ def bench_256(chunk=65536, solve_rtol=1e-8, nel=256):
         out["assembly_pointwise_s"] = round(t_pw, 4)
         out["assembly_pointwise_Mnnz_s"] = round(nnz / t_pw / 1e6, 1)
         del op_p, b_p
+        out["stage"] = "done"
         return out
     except Exception as e:
         out["error"] = f"{type(e).__name__}: {e}"[:300]
         return out
-
 
 
 def main():

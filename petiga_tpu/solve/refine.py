@@ -154,21 +154,32 @@ def refined_solve(
 
     bnorm = float(jnp.sqrt(jnp.vdot(b64, b64).real))
     x = jnp.zeros_like(b64)
+    x_good, rn_good = x, float("inf")
     hist = []
     iters = []
     for _ in range(max_refine):
         r, rn = residual(b64, x)
         rn = float(rn)
         hist.append(rn)
+        if not np.isfinite(rn):
+            # guard: a non-finite residual evaluation (observed once on
+            # flaky 256³ f64 hardware passes) must not poison the
+            # converged iterate — stop and keep the last good x
+            break
+        if rn < rn_good:
+            x_good, rn_good = x, rn
         if rn <= rtol * bnorm:
             break
         e32, it = inner(op.DT, dinv, r.astype(jnp.float32))
         iters.append(int(it))
         x = x + e32.astype(jnp.float64)
     r, rn = residual(b64, x)
-    hist.append(float(rn))
-    return x, {
+    rn = float(rn)
+    if np.isfinite(rn) and rn < rn_good:
+        x_good, rn_good = x, rn
+    hist.append(rn)
+    return x_good, {
         "residuals": hist,
         "inner_iters": iters,
-        "relative_residual": float(rn) / bnorm,
+        "relative_residual": rn_good / bnorm,
     }
