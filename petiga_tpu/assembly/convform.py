@@ -884,28 +884,45 @@ def assemble_coefficient_planes(
             chunks: grid-shaped materialization of the full planes
             lane-pads the minor spatial dim ~1.5× and relayouts — an
             instant OOM at 256³ (the row_aligned lesson, BASELINE.md).
-            Each chunk is a (Keff, zc, Ney, Nex) block set into whole
-            (·, 128) rows of the flat buffer — sequential in-place
-            updates of one allocation."""
+            Each chunk is a (Keff, zc, Ney, Nex) block written into
+            whole (·, 128) rows of the flat buffer via a ``fori_loop``
+            dynamic-update-slice — the loop CARRY aliases in place (a
+            python-level ``.at.set`` chain double-buffered the 8.6 GB
+            full-slot planes on XLA-TPU and OOMed)."""
             chans = _outer_factors(run_ctx, facs)
             Nez = Ne[dim - 1]
             zc = max(1, (256 * 2**20) //
                      max(Keff * rpz * 128 * jnp.dtype(dt).itemsize, 1))
-            Pg = jnp.zeros((Keff, int(np.prod(Ne)) // 128, 128), dt)
-            for z0 in range(0, Nez, zc):
-                ze = min(zc, Nez - z0)
+            zc = min(zc, Nez)
+            while Nez % zc:  # uniform chunks: all writes inside the loop
+                zc -= 1
+
+            def block(z0, ze):
                 blk = None
                 for val, fgs in chans:
-                    t0 = fgs[0][:, z0:z0 + ze]
+                    t0 = jax.lax.dynamic_slice_in_dim(
+                        fgs[0], z0, ze, axis=1
+                    )
                     for g in range(1, dim):
                         t0 = t0[..., None] * fgs[g].reshape(
                             (Keff,) + (1,) * g + (Ne[dim - 1 - g],)
                         )
                     term = val.reshape((1,) + (1,) * dim) * t0
                     blk = term if blk is None else blk + term
-                blk = blk.reshape(Keff, ze * rpz, 128)
-                Pg = Pg.at[:, z0 * rpz:(z0 + ze) * rpz, :].set(blk)
-            return Pg
+                return blk.reshape(Keff, ze * rpz, 128)
+
+            Pg = jnp.zeros((Keff, int(np.prod(Ne)) // 128, 128), dt)
+            nfull = Nez // zc
+
+            def body(ci, Pg):
+                z0 = ci * zc
+                return jax.lax.dynamic_update_slice(
+                    Pg, block(z0, zc),
+                    (jnp.int32(0), z0 * rpz, jnp.int32(0)),
+                )
+
+            return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nfull),
+                                     body, Pg)
 
     # type-combo boxes: large ones (the interior block + whole boundary
     # faces) run as convolutions with their own constant kernels; small
