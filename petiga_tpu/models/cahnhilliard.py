@@ -193,6 +193,7 @@ def run_conv(
     max_newton=8,
     rtol_inner=1e-8,
     monitor=None,
+    counters=None,
 ):
     """Generalized-α integration with the Jacobian CONV-ASSEMBLED each
     Newton iteration (order-2 channels + value/grad/Hessian state
@@ -258,14 +259,23 @@ def run_conv(
         cstep = dict(ctx)
         cstep["t"] = jnp.asarray(t, sp.dtype)
         cstep["dt"] = jnp.asarray(dts, sp.dtype)
-        shift = jnp.asarray(am * af / (g * dts), sp.dtype)
+        # dR/dX of the mass term: dVam/dX = am/(g·dt) — NO α_f factor
+        # (the α_f chain applies only to the spatial terms evaluated at
+        # U_αf, carried by the `scale` channel coefficient).  With the
+        # extra α_f the mass channel is α_f× too small and Newton
+        # degrades to a fixed-point iteration contracting at exactly
+        # |1 - 1/α_f| = 0.5 per iteration (measured before the fix).
+        shift = jnp.asarray(am / (g * dts), sp.dtype)
         X = U
         rnorm0 = None
+        nit = 0
+        rhist = []
         for _ in range(max_newton):
             R = assemble_function(
                 sp, alpha_form, X, cstep, aux={"U0": U, "V0": V}
             )
             rn = float(jnp.linalg.norm(R))
+            rhist.append(rn)
             if rnorm0 is None:
                 rnorm0 = max(rn, 1e-30)
             if rn <= rtol_newton * rnorm0:
@@ -274,6 +284,11 @@ def run_conv(
             J = jac(Uaf, shift)
             dX, _ = lin_solve(J, R)
             X = X + dX
+            nit += 1
+        if counters is not None:
+            counters.setdefault("newton_iters", []).append(nit)
+            counters.setdefault("fnorm", []).append(rn)
+            counters.setdefault("rhist", []).append(rhist)
         V1 = (X - U) / (g * dts) + (1 - 1 / g) * V
         return X, V1
 

@@ -56,3 +56,23 @@ def test_run_conv_matches_alpha_stepper():
     np.testing.assert_allclose(
         np.asarray(logb[-1][2:]), np.asarray(loga[-1][2:]), rtol=1e-7
     )
+
+
+def test_run_conv_newton_is_newton():
+    """Regression: the conv Jacobian's mass channel must carry
+    dVam/dX = αm/(γ·dt) with NO αf factor (the αf chain belongs to the
+    spatial channels only).  With the extra αf the iteration degrades
+    to a fixed-point contraction of exactly |1 − 1/αf| = 0.5/iter;
+    correct Newton on a mass-dominated step converges ~quadratically —
+    ≥3 orders in the first two corrections."""
+    from petiga_tpu.models.cahnhilliard import (
+        initial_condition, make_space, run_conv,
+    )
+
+    sp = make_space(2, nel=6)  # f64
+    U0 = initial_condition(sp, seed=3)
+    cnt = {}
+    run_conv(sp, U0, dt=1e-9, nsteps=1, rtol_newton=1e-12,
+             max_newton=6, counters=cnt)
+    h = cnt["rhist"][0]
+    assert h[2] < 1e-3 * h[0], h
