@@ -194,6 +194,7 @@ def run_conv(
     rtol_inner=1e-8,
     monitor=None,
     counters=None,
+    chunk=None,
 ):
     """Generalized-α integration with the Jacobian CONV-ASSEMBLED each
     Newton iteration (order-2 channels + value/grad/Hessian state
@@ -272,7 +273,8 @@ def run_conv(
         rhist = []
         for _ in range(max_newton):
             R = assemble_function(
-                sp, alpha_form, X, cstep, aux={"U0": U, "V0": V}
+                sp, alpha_form, X, cstep, aux={"U0": U, "V0": V},
+                chunk=chunk,
             )
             rn = float(jnp.linalg.norm(R))
             rhist.append(rn)
@@ -301,7 +303,7 @@ def run_conv(
         return residual(pt, 1.0, jnp.zeros_like(Xe), 0.0, aux_e["U0"], c)
 
     Rsp = assemble_function(sp, v0_res, jnp.zeros_like(U0), ctx,
-                            aux={"U0": U0})
+                            aux={"U0": U0}, chunk=chunk)
     Mop, _ = assemble_coefficient_planes(
         sp, lambda x, c: {(0, 0): 1.0}, apply_fix=False,
     )
