@@ -179,6 +179,12 @@ def jacobian_coefficients(x, ctx, fields):
     return ch
 
 
+def _mass_coef(x, c):
+    # module-level (stable identity): the convform trace cache keys on
+    # the coef function object — an inline lambda re-traces every call
+    return {(0, 0): 1.0}
+
+
 def run_conv(
     space,
     U0,
@@ -304,16 +310,18 @@ def run_conv(
 
     Rsp = assemble_function(sp, v0_res, jnp.zeros_like(U0), ctx,
                             aux={"U0": U0}, chunk=chunk)
-    Mop, _ = assemble_coefficient_planes(
-        sp, lambda x, c: {(0, 0): 1.0}, apply_fix=False,
-    )
+    Mop, _ = assemble_coefficient_planes(sp, _mass_coef,
+                                         apply_fix=False)
     from ..solve.krylov import cg as _cg
 
+    # dtype-matched tolerance: rtol 1e-12 is unreachable in f32 and
+    # burns the full maxiter budget (measured 30 s of init at 64^3)
+    rtol_m = 1e-12 if sp.dtype == jnp.float64 else 1e-6
     @jax.jit
     def msolve(DT, rr):
         dv = Mop.packed_diag_inv_of(DT)
         res = _cg(lambda v: Mop.matvec_xb(DT, v), Mop.pack_vec(rr),
-                  M=lambda z: z * dv, rtol=1e-12, maxiter=2000)
+                  M=lambda z: z * dv, rtol=rtol_m, maxiter=500)
         return Mop.unpack_vec(res.x)
 
     V = msolve(Mop.DT, -Rsp)
