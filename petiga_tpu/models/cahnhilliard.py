@@ -201,6 +201,7 @@ def run_conv(
     monitor=None,
     counters=None,
     chunk=None,
+    stol=0.0,
 ):
     """Generalized-α integration with the Jacobian CONV-ASSEMBLED each
     Newton iteration (order-2 channels + value/grad/Hessian state
@@ -211,6 +212,10 @@ def run_conv(
     petigats.c:23-90); state/iterate vectors enter every cached
     executable as jit arguments, so steps after the first trace
     nothing.
+
+    ``stol > 0`` adds the increment convergence test (PETSc
+    ``-snes_stol``): a Newton step with ||dX|| ≤ stol·||X|| ends the
+    step immediately, skipping the final residual-only assembly.
 
     Returns ``(U, stats_log)`` like :func:`run`."""
     import jax
@@ -293,6 +298,15 @@ def run_conv(
             dX, _ = lin_solve(J, R)
             X = X + dX
             nit += 1
+            if stol > 0.0:
+                # increment criterion (SNES -snes_stol analog,
+                # SNESConvergedDefault): ||dX|| <= stol ||X|| ends the
+                # step WITHOUT the extra convergence-check residual
+                # assembly — in the mass-dominated 1-iteration regime
+                # that assembly is ~40% of the step cost.
+                sn = float(jnp.linalg.norm(dX) / jnp.linalg.norm(X))
+                if sn <= stol:
+                    break
         if counters is not None:
             counters.setdefault("newton_iters", []).append(nit)
             counters.setdefault("fnorm", []).append(rn)
