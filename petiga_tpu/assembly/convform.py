@@ -55,6 +55,7 @@ __all__ = [
     "poisson_coefficients",
     "assemble_coefficient_planes",
     "assemble_load_vector",
+    "assemble_residual_conv",
 ]
 
 
@@ -1683,4 +1684,309 @@ def assemble_load_vector(space, forcing: Callable, ctx=None, *,
         fn = jax.jit(run)
         space._device_cache[key] = fn
     bg = fn(ctx, axis_xf, gen_ids)
+    return bg.reshape(space.nnodes, 1)
+
+
+# ------------------------------------------------- conv residual assembly
+
+
+def _test_kernel(space, dtype, reps, chans):
+    """Stacked residual (test-side) kernel ``(taps_rev..., Q·nch, 1)``
+    for channel list ``chans``: per channel α the per-axis product of
+    ``w·detJac·D^{α_d}N`` tables of the representative elements
+    ``reps`` — :func:`_forcing_kernel` generalized to derivative test
+    channels.  Feature order is q-major / channel-minor, matching the
+    :func:`_space_to_depth` input layout."""
+    dim = space.dim
+    p = space.degrees
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    nen_d = [p[d] + 1 for d in range(dim)]
+    Q = int(np.prod(nq))
+    ks = []
+    for idx in chans:
+        ders = _chan_orders(idx, dim)
+        k = np.ones(tuple(nq[::-1]) + tuple(nen_d[::-1]))
+        for d in range(dim):
+            t = space.tabs[d]
+            lo = reps[d]
+            g = (t.value[lo, :, ders[d], :]
+                 * (t.weight[lo] * t.detJac[lo])[:, None])
+            sh = [1] * (2 * dim)
+            gi = dim - 1 - d
+            sh[gi] = nq[d]
+            sh[dim + gi] = nen_d[d]
+            k = k * g.reshape(sh)
+        ks.append(k.reshape((Q, 1) + tuple(nen_d[::-1])))
+    k = np.concatenate(ks, axis=1)  # (Q, nch, taps_rev...)
+    k = k.reshape((Q * len(chans),) + tuple(nen_d[::-1]) + (1,))
+    k = np.flip(k, axis=tuple(range(1, 1 + dim)))
+    k = np.moveaxis(k, 0, dim)  # (taps_rev..., Q·nch, 1)
+    return jnp.asarray(k, dtype)
+
+
+def assemble_residual_conv(space, res_coef, ctx=None, *, fields=None,
+                           shell_chunk=32768, conv_min=2048,
+                           chunk_z=None):
+    """Residual / weighted-load assembly with derivative TEST channels
+    and state-field coefficients — scatter-free, one convolution per
+    type-combo box:
+
+        R_a = Σ_α ∫ D^α N_a · f_α(x, state)
+
+    ``res_coef(x, ctx, fe) -> {α: array}`` with α the test-channel
+    index (``0`` value, ``1..dim`` first derivatives, ``(d1, d2)``
+    second derivatives) and ``fe`` the state fields evaluated pointwise
+    (``name``, ``name_grad``, ``name_hess`` as in
+    :func:`assemble_coefficient_planes`); without ``fields`` the
+    signature is ``res_coef(x, ctx)``.  This is the MXU route for
+    NONLINEAR residuals (IGAComputeFunction, petigasnes.c:23-80): the
+    Cahn–Hilliard α residual is value/grad/Laplacian channels with
+    state-dependent coefficients, so each Newton residual rides the
+    same conv path as the Jacobian instead of the pointwise
+    scatter loop.
+
+    Identity map, dof = 1, regular unit-step axes; open AND periodic
+    axes (periodic node-window overhang wrap-folds).  Returns a flat
+    ``(nnodes, 1)`` vector — no Dirichlet elimination (compose with
+    the caller's fix semantics).  Field vectors and ctx enter the
+    cached executable as jit arguments: per-Newton re-assembly traces
+    nothing."""
+    from .tabulation import tabulate_elements
+
+    if not fastpath.is_unit_step(space):
+        raise ValueError("conv residual assembly requires unit-step axes")
+    if space.has_geometry or space.is_rational or space.dof != 1:
+        raise ValueError("conv residual assembly: identity map, dof=1")
+    dim = space.dim
+    dt = space.dtype
+    p = space.degrees
+    N = space.node_shape
+    eshape = space.elem_shape
+    dn = _dimension_numbers(dim)
+    pad = [(p[d], p[d]) for d in range(dim)][::-1]
+    nq = [space.tabs[d].nqp for d in range(dim)]
+    Q = int(np.prod(nq))
+
+    if fields:
+        fspecs = {
+            k: ((v[0], int(v[1])) if isinstance(v, tuple) else (v, 0))
+            for k, v in fields.items()
+        }
+        field_names = tuple(sorted(fspecs))
+        field_orders = tuple(fspecs[k][1] for k in field_names)
+    else:
+        field_names = ()
+        field_orders = ()
+
+    def _field_probe():
+        fp = {}
+        for k, o in zip(field_names, field_orders):
+            fp[k] = jnp.zeros((1,), dt)
+            if o >= 1:
+                fp[k + "_grad"] = jnp.zeros((1, dim), dt)
+            if o >= 2:
+                fp[k + "_hess"] = jnp.zeros((1, dim, dim), dt)
+        return fp
+
+    x0 = jnp.zeros((1, dim), dt)
+    probe = (res_coef(x0, ctx, _field_probe()) if fields
+             else res_coef(x0, ctx))
+    def _k1(i):
+        t = (i,) if not isinstance(i, tuple) else i
+        return (_chan_total(i), t)
+    chans = sorted(probe.keys(), key=_k1)
+    for idx in chans:
+        ok = (len(idx) <= 2 and all(0 <= d < dim for d in idx)
+              if isinstance(idx, tuple) else 0 <= idx <= dim)
+        if not ok:
+            raise ValueError(f"residual channel {idx} out of range")
+    max_order = max([1] + [_chan_total(i) for i in chans])
+    nch = len(chans)
+
+    conv_boxes = []
+    gen_boxes = []
+    for blo, bext, reps in _combo_boxes(space):
+        if int(np.prod(bext)) >= conv_min:
+            conv_boxes.append((blo, bext, reps))
+        else:
+            gen_boxes.extend(_split_box(blo, bext, shell_chunk))
+    kers = {}
+    for _, _, reps in conv_boxes:
+        if reps not in kers:
+            kers[reps] = _test_kernel(space, dt, reps, tuple(chans))
+
+    mats = _fine_basis_mats(space, dt) if fields else None
+    axis_xf = tuple(
+        jnp.asarray(space.tabs[d].point.reshape(-1), dt)
+        for d in range(dim)
+    )
+    fgrids = tuple(
+        jnp.asarray(fspecs[k][0], dt).reshape(tuple(N[::-1]) + (1,))
+        for k in field_names
+    ) if fields else ()
+    gen_ids = tuple(_box_ids(eshape, blo, bext) for blo, bext in gen_boxes)
+
+    per_g = [space.periodic[dim - 1 - g] for g in range(dim)]
+    N_g = [N[dim - 1 - g] for g in range(dim)]
+    any_per = any(space.periodic)
+
+    def _fold(node_sl):
+        pieces = [((), ())]
+        for g, s in enumerate(node_sl):
+            L = s.stop - s.start
+            new = []
+            for dest, src in pieces:
+                if per_g[g] and s.stop > N_g[g]:
+                    core = N_g[g] - s.start
+                    new.append((dest + (slice(s.start, N_g[g]),),
+                                src + (slice(0, core),)))
+                    new.append((dest + (slice(0, L - core),),
+                                src + (slice(core, L),)))
+                else:
+                    new.append((dest + (slice(s.start, s.stop),),
+                                src + (slice(0, L),)))
+            pieces = new
+        return pieces
+
+    def add_load(bg, contrib, node_sl):
+        if not any_per:
+            return bg.at[node_sl + (slice(None),)].add(contrib)
+        for dest, src in _fold(node_sl):
+            bg = bg.at[dest + (slice(None),)].add(
+                contrib[src + (slice(None),)]
+            )
+        return bg
+
+    def _zs(bext):
+        ez = bext[dim - 1]
+        cz = chunk_z
+        if cz is None:
+            per_layer = (
+                int(np.prod(bext[:-1])) * Q * max(nch, 2) * 2
+                * jnp.dtype(dt).itemsize
+            ) if dim > 1 else 1
+            cz = max(1, min(ez, (256 * 2**20) // max(per_layer, 1)))
+        out = []
+        s = 0
+        while s < ez:
+            e = min(cz, ez - s)
+            out.append((s, e))
+            s += e
+        return out
+
+    conv_tasks = []
+    for blo0, bext0, reps in conv_boxes:
+        for (zs, zext) in _zs(bext0):
+            blo = list(blo0)
+            bext = list(bext0)
+            blo[dim - 1] = blo0[dim - 1] + zs
+            bext[dim - 1] = zext
+            conv_tasks.append((tuple(blo), tuple(bext), reps))
+
+    def run(run_ctx, axis_xf_, gids, fvals):
+        bg = jnp.zeros(tuple(N[::-1]) + (1,), dt)
+        with jax.default_matmul_precision("highest"):
+            for blo, bext, reps in conv_tasks:
+                X = _fine_X(space, axis_xf_, blo, bext)
+                if fields:
+                    fe = {}
+                    for k, fv, o in zip(field_names, fvals,
+                                        field_orders):
+                        fe[k] = _fine_field(space, mats, (0,) * dim,
+                                            fv, blo, bext)[..., 0]
+                        if o >= 1:
+                            fe[k + "_grad"] = jnp.stack(
+                                [_fine_field(
+                                    space, mats,
+                                    tuple(1 if dd == d else 0
+                                          for dd in range(dim)),
+                                    fv, blo, bext)[..., 0]
+                                 for d in range(dim)], axis=-1)
+                        if o >= 2:
+                            fe[k + "_hess"] = jnp.stack(
+                                [jnp.stack(
+                                    [_fine_field(
+                                        space, mats,
+                                        tuple((1 if dd == d1 else 0)
+                                              + (1 if dd == d2 else 0)
+                                              for dd in range(dim)),
+                                        fv, blo, bext)[..., 0]
+                                     for d2 in range(dim)], axis=-1)
+                                 for d1 in range(dim)], axis=-2)
+                    ch = res_coef(X, run_ctx, fe)
+                else:
+                    ch = res_coef(X, run_ctx)
+                fine_rev = tuple(
+                    bext[d] * nq[d] for d in range(dim)
+                )[::-1]
+                F = jnp.stack(
+                    [jnp.broadcast_to(jnp.asarray(ch[idx], dt),
+                                      fine_rev)
+                     for idx in chans], axis=-1)
+                W = _space_to_depth(space, F, bext)
+                outf = jax.lax.conv_general_dilated(
+                    W[None], kers[reps], (1,) * dim, pad,
+                    dimension_numbers=dn, preferred_element_type=dt,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[0]
+                node_sl = tuple(
+                    slice(blo[dim - 1 - g],
+                          blo[dim - 1 - g] + bext[dim - 1 - g]
+                          + p[dim - 1 - g])
+                    for g in range(dim)
+                )
+                bg = add_load(bg, outf, node_sl)
+            for (blo, bext), ids in zip(gen_boxes, gids):
+                tab_order = max((max_order,) + field_orders)
+                pb = tabulate_elements(space, ids, order=tab_order)
+                if fields:
+                    emap = space.device_emap(ids)
+                    fe = {}
+                    for k, fv, o in zip(field_names, fvals,
+                                        field_orders):
+                        Ue = fv.reshape(-1)[emap].astype(dt)
+                        fe[k] = jnp.einsum("bqn,bn->bq",
+                                           pb.shape[0], Ue)
+                        if o >= 1:
+                            fe[k + "_grad"] = jnp.einsum(
+                                "bqnd,bn->bqd", pb.shape[1], Ue)
+                        if o >= 2:
+                            fe[k + "_hess"] = jnp.einsum(
+                                "bqnde,bn->bqde", pb.shape[2], Ue)
+                    ch = res_coef(pb.x, run_ctx, fe)
+                else:
+                    ch = res_coef(pb.x, run_ctx)
+
+                def Dof(idx):
+                    if isinstance(idx, tuple):
+                        d1, d2 = idx
+                        return pb.shape[2][..., d1, d2]
+                    if idx == 0:
+                        return pb.shape[0]
+                    return pb.shape[1][..., idx - 1]
+
+                Fe = None
+                for idx in chans:
+                    wc = pb.weight * jnp.broadcast_to(
+                        jnp.asarray(ch[idx], dt), pb.weight.shape
+                    )
+                    term = jnp.einsum("bq,bqa->ba", wc, Dof(idx))
+                    Fe = term if Fe is None else Fe + term
+                Ke0 = jnp.zeros(
+                    (ids.shape[0], space.nen, space.nen, 1, 1), dt
+                )
+                _, Gv = fastpath.accumulate_box(
+                    space, tuple(bext), Ke0, Fe[..., None], 0
+                )
+                node_sl = _box_node_slices(space, blo, bext)
+                bg = add_load(bg, Gv, node_sl)
+        return bg
+
+    key = ("convres", res_coef, tuple(chans), field_names,
+           field_orders, shell_chunk, conv_min, chunk_z, dt)
+    fn = space._device_cache.get(key)
+    if fn is None:
+        fn = jax.jit(run)
+        space._device_cache[key] = fn
+    bg = fn(ctx, axis_xf, gen_ids, fgrids)
     return bg.reshape(space.nnodes, 1)

@@ -185,6 +185,29 @@ def _mass_coef(x, c):
     return {(0, 0): 1.0}
 
 
+def residual_channels(x, ctx, fe):
+    """The CH residual as conv TEST channels with state fields
+    ``c`` (order 2) and ``ct`` (order 0), for
+    :func:`~petiga_tpu.assembly.convform.assemble_residual_conv`:
+    R_a = N_a·ct + ∇N_a·(∇c·t1) + ΔN_a·(M Δc), t1 = Mμ' + M'Δc
+    (the same algebra as :func:`residual`, test side factored out)."""
+    theta, alpha = ctx["theta"], ctx["alpha"]
+    c = fe["c"]
+    gc = fe["c_grad"]
+    d2c = jnp.trace(fe["c_hess"], axis1=-2, axis2=-1)
+    ct = fe["ct"]
+    M = mobility(c)
+    dM = dmobility(c)
+    dmu = chemical_potential_d(c, theta, alpha)
+    t1 = M * dmu + dM * d2c
+    ch = {0: ct}
+    dim = x.shape[-1]
+    for d in range(dim):
+        ch[d + 1] = gc[..., d] * t1
+        ch[(d, d)] = M * d2c
+    return ch
+
+
 def run_conv(
     space,
     U0,
@@ -202,6 +225,7 @@ def run_conv(
     counters=None,
     chunk=None,
     stol=0.0,
+    conv_residual=True,
 ):
     """Generalized-α integration with the Jacobian CONV-ASSEMBLED each
     Newton iteration (order-2 channels + value/grad/Hessian state
@@ -221,7 +245,11 @@ def run_conv(
     import jax
 
     from ..assembly.assemble import assemble_function
-    from ..assembly.convform import assemble_coefficient_planes
+    from ..assembly.convform import (
+        assemble_coefficient_planes,
+        assemble_residual_conv,
+    )
+    from ..assembly.fastpath import is_unit_step as fastpath_unit_step
     from ..solve.krylov import bicgstab
 
     sp = space
@@ -267,6 +295,12 @@ def run_conv(
             solve_cache[key] = fn
         return fn(J.DT, -R)
 
+    use_conv_res = (
+        conv_residual and sp.dof == 1
+        and not sp.has_geometry and not sp.is_rational
+        and fastpath_unit_step(sp)
+    )
+
     def newton_step(U, V, t, dts):
         cstep = dict(ctx)
         cstep["t"] = jnp.asarray(t, sp.dtype)
@@ -283,10 +317,23 @@ def run_conv(
         nit = 0
         rhist = []
         for _ in range(max_newton):
-            R = assemble_function(
-                sp, alpha_form, X, cstep, aux={"U0": U, "V0": V},
-                chunk=chunk,
-            )
+            if use_conv_res:
+                # the α residual via conv TEST channels: Vam and Uaf
+                # are nodal-linear in (X, U, V), so their point values
+                # are the field evaluations of these node vectors
+                V1v = (X - U) / (g * dts) + (1 - 1 / g) * V
+                Vamv = V + am * (V1v - V)
+                Uafv = U + af * (X - U)
+                R = assemble_residual_conv(
+                    sp, residual_channels, cstep,
+                    fields={"c": (Uafv.reshape(-1), 2),
+                            "ct": (Vamv.reshape(-1), 0)},
+                )
+            else:
+                R = assemble_function(
+                    sp, alpha_form, X, cstep, aux={"U0": U, "V0": V},
+                    chunk=chunk,
+                )
             rn = float(jnp.linalg.norm(R))
             rhist.append(rn)
             if rnorm0 is None:

@@ -642,3 +642,66 @@ def test_conv_periodic_end_to_end_solve():
         )))
     rate = np.log2(errs[0] / errs[1])
     assert errs[1] < 3e-4 and rate > 2.5, (errs, rate)
+
+
+def test_residual_conv_matches_pointwise():
+    """assemble_residual_conv (derivative test channels, open/periodic,
+    conv and gen-box paths) equals the pointwise assemble_function."""
+    from petiga_tpu.assembly.assemble import assemble_function
+    from petiga_tpu.assembly.convform import assemble_residual_conv
+
+    for dim, nel, per in [(1, 8, True), (2, 6, False), (2, 6, True),
+                          (3, 4, True)]:
+        axes = [Axis.uniform(p=2, nel=nel, periodic=per)
+                for _ in range(dim)]
+        sp = Space(axes, dof=1, dtype=jnp.float64, order=2)
+
+        def coefs(x, ctx, _dim=dim):
+            ch = {0: jnp.sin(jnp.pi * x[..., 0]) * ctx["a"]}
+            for d in range(_dim):
+                ch[d + 1] = jnp.cos(jnp.pi * x[..., d]) + 0.3 * d
+                ch[(d, d)] = 0.1 + 0.05 * x[..., 0]
+            return ch
+
+        ctx = {"a": jnp.float64(1.3)}
+        b_conv = assemble_residual_conv(sp, coefs, ctx, conv_min=1)
+        b_gen = assemble_residual_conv(sp, coefs, ctx, conv_min=10**9)
+
+        def form(pt, Ue, c, _dim=dim, _coefs=coefs):
+            ch = _coefs(pt.x, c)
+            out = pt.shape0 * ch[0][..., None]
+            for d in range(_dim):
+                out = out + pt.shape1[..., d] * ch[d + 1][..., None]
+                out = out + pt.shape2[..., d, d] * ch[(d, d)][..., None]
+            return out
+
+        b_pt = assemble_function(sp, form,
+                                 jnp.zeros((sp.nnodes, 1)), ctx)
+        scale = float(jnp.max(jnp.abs(b_pt)))
+        assert float(jnp.max(jnp.abs(b_conv - b_pt))) < 1e-12 * scale
+        assert float(jnp.max(jnp.abs(b_gen - b_pt))) < 1e-12 * scale
+
+
+def test_residual_conv_state_fields_cahnhilliard():
+    """The full CH residual (value/grad/Hessian state fields) through
+    assemble_residual_conv equals the pointwise form."""
+    import petiga_tpu.models.cahnhilliard as m
+    from petiga_tpu.assembly.assemble import assemble_function
+    from petiga_tpu.assembly.convform import assemble_residual_conv
+
+    sp = m.make_space(2, nel=8)
+    U = m.initial_condition(sp, seed=2)
+    V = 0.1 * m.initial_condition(sp, seed=5)
+    ctx = {"theta": jnp.float64(1.5), "alpha": jnp.float64(3000.0)}
+
+    b_conv = assemble_residual_conv(
+        sp, m.residual_channels, ctx,
+        fields={"c": (U.reshape(-1), 2), "ct": (V.reshape(-1), 0)},
+    )
+
+    def form(pt, Xe, aux_e, c):
+        return m.residual(pt, 1.0, aux_e["V0"], 0.0, Xe, c)
+
+    b_pt = assemble_function(sp, form, U, ctx, aux={"V0": V})
+    scale = float(jnp.max(jnp.abs(b_pt)))
+    assert float(jnp.max(jnp.abs(b_conv - b_pt))) < 1e-12 * scale
