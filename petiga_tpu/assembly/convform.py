@@ -1788,6 +1788,18 @@ def assemble_residual_conv(space, res_coef, ctx=None, *, fields=None,
                 fp[k + "_hess"] = jnp.zeros((1, dim, dim), dt)
         return fp
 
+    setup_key = ("convres-setup", res_coef, field_names, field_orders,
+                 shell_chunk, conv_min, chunk_z, dt)
+    cached = space._device_cache.get(setup_key)
+    if cached is not None:
+        fn, chans, axis_xf, gen_ids = cached
+        fgrids = tuple(
+            jnp.asarray(fspecs[k][0], dt).reshape(tuple(N[::-1]) + (1,))
+            for k in field_names
+        ) if fields else ()
+        bg = fn(ctx, axis_xf, gen_ids, fgrids)
+        return bg.reshape(space.nnodes, 1)
+
     x0 = jnp.zeros((1, dim), dt)
     probe = (res_coef(x0, ctx, _field_probe()) if fields
              else res_coef(x0, ctx))
@@ -1982,11 +1994,7 @@ def assemble_residual_conv(space, res_coef, ctx=None, *, fields=None,
                 bg = add_load(bg, Gv, node_sl)
         return bg
 
-    key = ("convres", res_coef, tuple(chans), field_names,
-           field_orders, shell_chunk, conv_min, chunk_z, dt)
-    fn = space._device_cache.get(key)
-    if fn is None:
-        fn = jax.jit(run)
-        space._device_cache[key] = fn
+    fn = jax.jit(run)
+    space._device_cache[setup_key] = (fn, chans, axis_xf, gen_ids)
     bg = fn(ctx, axis_xf, gen_ids, fgrids)
     return bg.reshape(space.nnodes, 1)

@@ -301,6 +301,15 @@ def run_conv(
         and fastpath_unit_step(sp)
     )
 
+    @jax.jit
+    def _alpha_vectors(X, U, V, dts):
+        # nodal α-state algebra in ONE dispatch (eager ops cost
+        # 10-50 ms each on a remote-tunneled device)
+        V1v = (X - U) / (g * dts) + (1 - 1 / g) * V
+        Vamv = V + am * (V1v - V)
+        Uafv = U + af * (X - U)
+        return Uafv.reshape(-1), Vamv.reshape(-1)
+
     def newton_step(U, V, t, dts):
         cstep = dict(ctx)
         cstep["t"] = jnp.asarray(t, sp.dtype)
@@ -321,13 +330,10 @@ def run_conv(
                 # the α residual via conv TEST channels: Vam and Uaf
                 # are nodal-linear in (X, U, V), so their point values
                 # are the field evaluations of these node vectors
-                V1v = (X - U) / (g * dts) + (1 - 1 / g) * V
-                Vamv = V + am * (V1v - V)
-                Uafv = U + af * (X - U)
+                Uafv, Vamv = _alpha_vectors(X, U, V, cstep["dt"])
                 R = assemble_residual_conv(
                     sp, residual_channels, cstep,
-                    fields={"c": (Uafv.reshape(-1), 2),
-                            "ct": (Vamv.reshape(-1), 0)},
+                    fields={"c": (Uafv, 2), "ct": (Vamv, 0)},
                 )
             else:
                 R = assemble_function(
